@@ -1,0 +1,424 @@
+"""Geometry operations: predicates, overlays, buffers, transforms.
+
+Linework operations (polyline x polygon clipping, segment intersections,
+distances) are exact; areal booleans route through the raster bridge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .poly import (
+    Geometry, Point, MultiPoint, LineString, MultiLineString, LinearRing,
+    Polygon, MultiPolygon, GeometryCollection, GEOMETRY_EMPTY,
+    _seg_intersections, _points_to_segments_dist, _EPS,
+)
+from . import raster as _raster
+
+__all__ = [
+    "intersects", "contains", "distance", "overlay", "buffer", "unary_union",
+    "transform", "clip_line_to_polygon", "equals", "scale_geometry",
+]
+
+_AREAL = ("Polygon", "MultiPolygon")
+_LINEAL = ("LineString", "LinearRing", "MultiLineString")
+_PUNCTUAL = ("Point", "MultiPoint")
+
+
+def _segments_of(geom):
+    t = geom.geom_type
+    if t in ("LineString", "LinearRing"):
+        return geom.segments
+    if t == "MultiLineString":
+        segs = [l.segments for l in geom.geoms]
+        return np.vstack(segs) if segs else np.zeros((0, 4))
+    if t == "Polygon":
+        rings = [geom.exterior.segments] + [h.segments for h in geom.interiors]
+        return np.vstack(rings)
+    if t in ("MultiPolygon", "GeometryCollection"):
+        segs = [_segments_of(g) for g in geom.geoms]
+        segs = [s for s in segs if len(s)]
+        return np.vstack(segs) if segs else np.zeros((0, 4))
+    if t == "Point":
+        c = np.array([[geom.x, geom.y, geom.x, geom.y]])
+        return c
+    if t == "MultiPoint":
+        c = geom._all_coords()
+        return np.c_[c, c]
+    return np.zeros((0, 4))
+
+
+def _vertices_of(geom):
+    return geom._all_coords()
+
+
+def _contains_points(geom, pts):
+    t = geom.geom_type
+    if t in ("Polygon", "MultiPolygon"):
+        return geom.contains_points(pts)
+    if t == "GeometryCollection":
+        out = np.zeros(len(pts), dtype=bool)
+        for g in geom.geoms:
+            if g.geom_type in _AREAL:
+                out |= g.contains_points(pts)
+        return out
+    return np.zeros(len(pts), dtype=bool)
+
+
+def intersects(a, b):
+    ta, tb = a.geom_type, b.geom_type
+    # point-in-areal fast paths
+    if ta in _PUNCTUAL and tb in _AREAL:
+        return bool(_contains_points(b, _vertices_of(a)).any()) or \
+            _min_seg_dist(a, b) <= 1e-9
+    if tb in _PUNCTUAL and ta in _AREAL:
+        return intersects(b, a)
+    if ta in _PUNCTUAL and tb in _PUNCTUAL:
+        return _min_seg_dist(a, b) <= 1e-9
+
+    # any vertex containment
+    if tb in _AREAL and len(_vertices_of(a)):
+        if _contains_points(b, _vertices_of(a)).any():
+            return True
+    if ta in _AREAL and len(_vertices_of(b)):
+        if _contains_points(a, _vertices_of(b)).any():
+            return True
+    # any edge crossing
+    sa = _segments_of(a)
+    sb = _segments_of(b)
+    if len(sa) == 0 or len(sb) == 0:
+        return False
+    if len(sa) * len(sb) > 4_000_000:
+        # chunk to bound memory
+        step = max(1, 4_000_000 // max(len(sb), 1))
+        for i in range(0, len(sa), step):
+            if _seg_intersections(sa[i:i + step], sb, bool_only=True):
+                return True
+        return False
+    return _seg_intersections(sa, sb, bool_only=True)
+
+
+def contains(a, b):
+    ta = a.geom_type
+    if ta not in _AREAL and ta != "GeometryCollection":
+        return False
+    pts = _vertices_of(b)
+    if len(pts) == 0:
+        return False
+    if not _contains_points(a, pts).all():
+        # vertices on the boundary are OK for our purposes
+        outside = ~_contains_points(a, pts)
+        d = _points_to_segments_dist(pts[outside], _segments_of(a))
+        if len(d) and (d.min(axis=1) > 1e-6).any():
+            return False
+    # no boundary crossings allowed
+    sb = _segments_of(b)
+    sa = _segments_of(a)
+    if len(sb) and len(sa):
+        pts_x, ia, ib = _seg_intersections(sa, sb)
+        if len(pts_x):
+            # crossings exactly at shared/boundary points are tolerated
+            d = _points_to_segments_dist(pts_x, sa)
+            interior_cross = False
+            for k in range(len(pts_x)):
+                # check whether segment of b actually passes to the outside
+                pass
+            # sample midpoints of b's segments: all must be inside-or-on
+            mids = (sb[:, :2] + sb[:, 2:]) * 0.5
+            ok = _contains_points(a, mids)
+            if not ok.all():
+                dm = _points_to_segments_dist(mids[~ok], sa)
+                if len(dm) and (dm.min(axis=1) > 1e-6).any():
+                    return False
+    return True
+
+
+def _min_seg_dist(a, b):
+    sa = _segments_of(a)
+    sb = _segments_of(b)
+    if len(sa) == 0 or len(sb) == 0:
+        return float("inf")
+    va = np.vstack([sa[:, :2], sa[:, 2:]])
+    vb = np.vstack([sb[:, :2], sb[:, 2:]])
+    d1 = _points_to_segments_dist(va, sb).min() if len(vb) else np.inf
+    d2 = _points_to_segments_dist(vb, sa).min() if len(va) else np.inf
+    return float(min(d1, d2))
+
+
+def distance(a, b):
+    if a.is_empty or b.is_empty:
+        return float("inf")
+    if intersects(a, b):
+        return 0.0
+    return _min_seg_dist(a, b)
+
+
+def equals(a, b, tol=1e-9):
+    if a.geom_type != b.geom_type:
+        return abs(a.area - b.area) < tol and \
+            a.symmetric_difference(b).area < max(a.area, b.area, 1.0) * 1e-6
+    ca, cb = a._all_coords(), b._all_coords()
+    if ca.shape == cb.shape and np.allclose(ca, cb, atol=tol):
+        return True
+    if a.geom_type in _AREAL:
+        return a.symmetric_difference(b).area < max(a.area, b.area, 1.0) * 1e-6
+    return False
+
+
+# ---------------------------------------------------------------------------
+# overlays
+# ---------------------------------------------------------------------------
+
+def overlay(a, b, op):
+    if a.is_empty:
+        return b if op in ("or", "xor") else GEOMETRY_EMPTY
+    if b.is_empty:
+        return a if op in ("or", "diff", "xor") else GEOMETRY_EMPTY
+    ta, tb = a.geom_type, b.geom_type
+
+    if op == "and" and a._bbox_disjoint(b):
+        return GEOMETRY_EMPTY
+    if op == "diff" and a._bbox_disjoint(b):
+        return a
+
+    # line x areal intersection — exact clipping
+    if op == "and" and ta in _LINEAL and tb in _AREAL:
+        return clip_line_to_polygon(a, b)
+    if op == "and" and tb in _LINEAL and ta in _AREAL:
+        return clip_line_to_polygon(b, a)
+    # line x line intersection — points
+    if op == "and" and ta in _LINEAL and tb in _LINEAL:
+        pts, _, _ = _seg_intersections(_segments_of(a), _segments_of(b))
+        if len(pts) == 0:
+            return GEOMETRY_EMPTY
+        uniq = _dedup_points(pts)
+        if len(uniq) == 1:
+            return Point(uniq[0])
+        return MultiPoint(uniq)
+    # point ops
+    if ta in _PUNCTUAL or tb in _PUNCTUAL:
+        return _point_overlay(a, b, op)
+
+    # areal x areal — raster
+    if ta in _AREAL and tb in _AREAL:
+        return _raster.raster_overlay(a, b, op)
+
+    # mixed collections: recurse
+    if ta == "GeometryCollection":
+        parts = [overlay(g, b, op) for g in a.geoms]
+        return collect(parts)
+    if tb == "GeometryCollection":
+        if op == "and":
+            parts = [overlay(a, g, op) for g in b.geoms]
+            return collect(parts)
+        return _raster.raster_overlay(a, b, op)
+    # line diff/union with areal — approximate with raster of thin lines
+    if op == "diff" and ta in _LINEAL and tb in _AREAL:
+        return _clip_line_outside_polygon(a, b)
+    return _raster.raster_overlay(a, b, op)
+
+
+def _point_overlay(a, b, op):
+    pa = _vertices_of(a) if a.geom_type in _PUNCTUAL else None
+    if op == "and":
+        pts, target = (pa, b) if pa is not None else (_vertices_of(b), a)
+        if target.geom_type in _AREAL:
+            keep = _contains_points(target, pts)
+        else:
+            d = _points_to_segments_dist(pts, _segments_of(target))
+            keep = d.min(axis=1) <= 1e-9 if len(d) else np.zeros(len(pts), bool)
+        sel = pts[keep]
+        if len(sel) == 0:
+            return GEOMETRY_EMPTY
+        return Point(sel[0]) if len(sel) == 1 else MultiPoint(sel)
+    if op == "or":
+        return collect([a, b])
+    if op == "diff":
+        if pa is None:
+            return a
+        if b.geom_type in _AREAL:
+            keep = ~_contains_points(b, pa)
+        else:
+            keep = np.ones(len(pa), bool)
+        sel = pa[keep]
+        if len(sel) == 0:
+            return GEOMETRY_EMPTY
+        return Point(sel[0]) if len(sel) == 1 else MultiPoint(sel)
+    return GEOMETRY_EMPTY
+
+
+def _dedup_points(pts, tol=1e-7):
+    out = []
+    for p in pts:
+        if not any(np.linalg.norm(p - q) < tol for q in out):
+            out.append(p)
+    return out
+
+
+def clip_line_to_polygon(line, poly):
+    """Exact clip of a polyline (or multi) to an areal geometry."""
+    if line.geom_type == "MultiLineString":
+        parts = [clip_line_to_polygon(l, poly) for l in line.geoms]
+        return collect(parts)
+    return _clip_line(line, poly, inside=True)
+
+
+def _clip_line_outside_polygon(line, poly):
+    if line.geom_type == "MultiLineString":
+        parts = [_clip_line_outside_polygon(l, poly) for l in line.geoms]
+        return collect(parts)
+    return _clip_line(line, poly, inside=False)
+
+
+def _clip_line(line, poly, inside=True):
+    coords = line.np_coords
+    if len(coords) < 2:
+        return GEOMETRY_EMPTY
+    psegs = _segments_of(poly)
+    pieces = []
+    cur = []
+
+    def flush():
+        if len(cur) >= 2:
+            pieces.append(np.array(cur))
+        cur.clear()
+
+    for i in range(len(coords) - 1):
+        p0, p1 = coords[i], coords[i + 1]
+        seg = np.array([[p0[0], p0[1], p1[0], p1[1]]])
+        pts, _, _ = _seg_intersections(seg, psegs)
+        ts = [0.0, 1.0]
+        d = p1 - p0
+        L2 = float(d @ d)
+        if L2 > _EPS:
+            for q in pts:
+                ts.append(float(np.clip((q - p0) @ d / L2, 0.0, 1.0)))
+        ts = sorted(set(round(t, 12) for t in ts))
+        for t0, t1 in zip(ts[:-1], ts[1:]):
+            if t1 - t0 < 1e-12:
+                continue
+            tm = (t0 + t1) * 0.5
+            mid = p0 + tm * d
+            is_in = bool(_contains_points(poly, mid.reshape(1, 2))[0])
+            if is_in == inside:
+                a = p0 + t0 * d
+                b = p0 + t1 * d
+                if cur and np.linalg.norm(np.array(cur[-1]) - a) < 1e-9:
+                    cur.append(tuple(b))
+                else:
+                    flush()
+                    cur.extend([tuple(a), tuple(b)])
+            else:
+                flush()
+    flush()
+    if not pieces:
+        return GEOMETRY_EMPTY
+    if len(pieces) == 1:
+        return LineString(pieces[0])
+    return MultiLineString(pieces)
+
+
+# ---------------------------------------------------------------------------
+# constructive ops
+# ---------------------------------------------------------------------------
+
+def buffer(geom, dist, resolution=16):
+    if geom.is_empty:
+        return GEOMETRY_EMPTY
+    if dist == 0:
+        if geom.geom_type in _AREAL:
+            return make_valid(geom)
+        return geom
+    return _raster.raster_buffer(geom, dist)
+
+
+def make_valid(geom):
+    """Fix self-intersections/degeneracies by round-tripping via raster."""
+    if geom.is_empty or geom.geom_type not in _AREAL:
+        return geom
+    if geom.geom_type == "Polygon" and geom.is_valid:
+        return geom
+    return _raster.raster_union_all([geom])
+
+
+def unary_union(geoms):
+    geoms = [g for g in geoms if g is not None and not g.is_empty]
+    if not geoms:
+        return GEOMETRY_EMPTY
+    if len(geoms) == 1:
+        return make_valid(geoms[0]) if geoms[0].geom_type in _AREAL else geoms[0]
+    if all(g.geom_type in _LINEAL for g in geoms):
+        lines = []
+        for g in geoms:
+            if g.geom_type == "MultiLineString":
+                lines.extend(g.geoms)
+            else:
+                lines.append(g)
+        return MultiLineString(lines)
+    return _raster.raster_union_all(geoms)
+
+
+def collect(parts):
+    """Flatten a list of geometries into the tightest collection type."""
+    flat = []
+    for p in parts:
+        if p is None or p.is_empty:
+            continue
+        if p.geom_type in ("MultiPolygon", "MultiLineString", "MultiPoint",
+                           "GeometryCollection"):
+            flat.extend(p.geoms)
+        else:
+            flat.append(p)
+    if not flat:
+        return GEOMETRY_EMPTY
+    if len(flat) == 1:
+        return flat[0]
+    types = set(g.geom_type for g in flat)
+    if types <= {"Polygon"}:
+        return MultiPolygon(flat)
+    if types <= {"LineString", "LinearRing"}:
+        return MultiLineString(flat)
+    if types <= {"Point"}:
+        return MultiPoint([(g.x, g.y) for g in flat])
+    return GeometryCollection(flat)
+
+
+def transform(func, geom):
+    """Apply ``func(xs, ys) -> (xs', ys')`` to all coordinates (shapely-style).
+
+    ``func`` must accept vectorized numpy arrays.
+    """
+    def conv(c):
+        if len(c) == 0:
+            return c
+        x, y = func(c[:, 0].copy(), c[:, 1].copy())
+        return np.c_[np.asarray(x, dtype=np.float64),
+                     np.asarray(y, dtype=np.float64)]
+
+    t = geom.geom_type
+    if t == "Point":
+        c = conv(np.array([[geom.x, geom.y]]))
+        return Point(c[0])
+    if t == "MultiPoint":
+        return MultiPoint(conv(geom._all_coords()))
+    if t in ("LineString", "LinearRing"):
+        return LineString(conv(geom.np_coords))
+    if t == "MultiLineString":
+        return MultiLineString([LineString(conv(l.np_coords))
+                                for l in geom.geoms])
+    if t == "Polygon":
+        return Polygon(conv(geom.np_shell),
+                       [conv(h) for h in geom.np_holes])
+    if t == "MultiPolygon":
+        return MultiPolygon([transform(func, p) for p in geom.geoms])
+    if t == "GeometryCollection":
+        return GeometryCollection([transform(func, g) for g in geom.geoms])
+    return geom
+
+
+def scale_geometry(geom, sx, sy, origin=(0, 0)):
+    ox, oy = origin
+
+    def f(x, y):
+        return (x - ox) * sx + ox, (y - oy) * sy + oy
+    return transform(f, geom)

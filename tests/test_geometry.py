@@ -1,0 +1,187 @@
+import numpy as np
+import pytest
+
+from origami_tpu import geometry as G
+
+
+def test_polygon_basic():
+    p = G.Polygon([(0, 0), (10, 0), (10, 10), (0, 10)])
+    assert p.area == pytest.approx(100.0)
+    assert p.bounds == (0, 0, 10, 10)
+    assert p.length == pytest.approx(40.0)
+    c = p.centroid
+    assert (c.x, c.y) == (pytest.approx(5.0), pytest.approx(5.0))
+    assert not p.is_empty
+    assert p.is_valid
+
+
+def test_polygon_with_hole():
+    p = G.Polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                  [[(4, 4), (6, 4), (6, 6), (4, 6)]])
+    assert p.area == pytest.approx(96.0)
+    assert not p.contains_points([[5, 5]])[0]
+    assert p.contains_points([[1, 1]])[0]
+
+
+def test_wkt_roundtrip():
+    p = G.Polygon([(0, 0), (10.5, 0), (10.5, 10.25), (0, 10.25)])
+    s = p.wkt
+    assert s.startswith("POLYGON ((")
+    q = G.wkt.loads(s)
+    assert q.area == pytest.approx(p.area)
+    np.testing.assert_allclose(q.np_shell, p.np_shell)
+
+    l = G.LineString([(1, 2), (3, 4.5)])
+    l2 = G.wkt.loads(l.wkt)
+    np.testing.assert_allclose(l2.np_coords, l.np_coords)
+
+    pt = G.wkt.loads("POINT (3 4)")
+    assert (pt.x, pt.y) == (3.0, 4.0)
+
+    mp = G.wkt.loads(
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+        "((2 2, 3 2, 3 3, 2 3, 2 2)))")
+    assert mp.geom_type == "MultiPolygon"
+    assert mp.area == pytest.approx(2.0)
+
+    e = G.wkt.loads("POLYGON EMPTY")
+    assert e.is_empty
+
+
+def test_intersects_contains():
+    a = G.box(0, 0, 10, 10)
+    b = G.box(5, 5, 15, 15)
+    c = G.box(20, 20, 30, 30)
+    d = G.box(2, 2, 8, 8)
+    assert a.intersects(b)
+    assert not a.intersects(c)
+    assert a.contains(d)
+    assert not a.contains(b)
+    assert d.within(a)
+    # point cases
+    assert a.contains_points([[5, 5], [11, 5]]).tolist() == [True, False]
+
+
+def test_intersection_union_difference():
+    a = G.box(0, 0, 10, 10)
+    b = G.box(5, 0, 15, 10)
+    inter = a.intersection(b)
+    assert inter.area == pytest.approx(50.0, rel=0.05)
+    uni = a.union(b)
+    assert uni.area == pytest.approx(150.0, rel=0.05)
+    diff = a.difference(b)
+    assert diff.area == pytest.approx(50.0, rel=0.05)
+    # disjoint
+    c = G.box(100, 100, 110, 110)
+    assert a.intersection(c).is_empty
+    assert a.union(c).area == pytest.approx(200.0, rel=0.05)
+
+
+def test_unary_union():
+    boxes = [G.box(i * 5, 0, i * 5 + 7, 10) for i in range(4)]
+    u = G.unary_union(boxes)
+    # overlapping chain merges to one polygon of width 22
+    assert u.geom_type == "Polygon"
+    assert u.area == pytest.approx(220.0, rel=0.05)
+
+
+def test_line_clip():
+    poly = G.box(0, 0, 10, 10)
+    line = G.LineString([(-5, 5), (15, 5)])
+    clipped = line.intersection(poly)
+    assert clipped.geom_type == "LineString"
+    assert clipped.length == pytest.approx(10.0, abs=1e-6)
+
+    # line crossing a concave poly -> multiple pieces
+    poly2 = G.Polygon([(0, 0), (10, 0), (10, 10), (6, 10), (6, 3),
+                       (4, 3), (4, 10), (0, 10)])
+    clipped2 = G.LineString([(-1, 5), (11, 5)]).intersection(poly2)
+    assert clipped2.geom_type == "MultiLineString"
+    assert clipped2.length == pytest.approx(8.0, abs=1e-6)
+
+
+def test_buffer():
+    p = G.box(10, 10, 20, 20)
+    grown = p.buffer(2)
+    assert grown.area > p.area
+    assert grown.contains_points([[9, 15]])[0]
+    shrunk = p.buffer(-2)
+    assert 0 < shrunk.area < p.area
+    line = G.LineString([(0, 0), (10, 0)])
+    lb = line.buffer(1)
+    assert lb.area == pytest.approx(20 + np.pi, rel=0.15)
+
+
+def test_simplify():
+    t = np.linspace(0, 2 * np.pi, 200)
+    circle = G.Polygon(np.c_[np.cos(t[:-1]) * 50 + 60, np.sin(t[:-1]) * 50 + 60])
+    s = circle.simplify(1.0)
+    assert len(s.np_shell) < len(circle.np_shell)
+    assert s.area == pytest.approx(circle.area, rel=0.03)
+
+
+def test_strtree():
+    geoms = [G.box(i * 10, 0, i * 10 + 5, 5) for i in range(10)]
+    tree = G.STRtree(geoms)
+    hits = tree.query(G.box(12, 1, 23, 4))
+    assert len(hits) == 2
+    hits_exact = tree.query_indices(G.box(12, 1, 23, 4), predicate="intersects")
+    assert set(hits_exact) == {1, 2}
+    nearest = tree.nearest(G.Point(33, 2))
+    assert nearest.bounds[0] == 30
+
+
+def test_interval_tree():
+    t = G.IntervalTree([(0, 5, "a"), (3, 8, "b"), (10, 12, "c")])
+    assert len(t.overlap(4, 6)) == 2
+    assert len(t.at(11)) == 1
+    assert t.coverage(0, 12) == pytest.approx(10.0)
+
+
+def test_affinity():
+    p = G.box(0, 0, 10, 10)
+    r = G.affinity.rotate(p, 90, origin=(0, 0))
+    minx, miny, maxx, maxy = r.bounds
+    assert minx == pytest.approx(-10)
+    assert maxy == pytest.approx(10, abs=1e-9)
+    s = G.affinity.scale(p, 2, 3, origin=(0, 0))
+    assert s.area == pytest.approx(600)
+    t = G.affinity.translate(p, 5, 5)
+    assert t.bounds == (5, 5, 15, 15)
+
+
+def test_transform():
+    p = G.box(0, 0, 10, 10)
+    q = G.transform(lambda x, y: (x * 2, y), p)
+    assert q.area == pytest.approx(200)
+
+
+def test_representative_point():
+    # C-shaped polygon whose centroid falls outside
+    p = G.Polygon([(0, 0), (10, 0), (10, 2), (2, 2), (2, 8),
+                   (10, 8), (10, 10), (0, 10)])
+    rp = p.representative_point()
+    assert p.contains_points([[rp.x, rp.y]])[0]
+
+
+def test_minimum_rotated_rectangle():
+    p = G.Polygon([(0, 0), (10, 10), (8, 12), (-2, 2)])
+    r = p.minimum_rotated_rectangle
+    assert r.area == pytest.approx(p.area, rel=0.2)
+
+
+def test_distance():
+    a = G.box(0, 0, 10, 10)
+    b = G.box(13, 0, 20, 10)
+    assert a.distance(b) == pytest.approx(3.0)
+    assert a.distance(G.Point(5, 5)) == 0.0
+    assert a.distance(G.Point(14, 5)) == pytest.approx(4.0)
+
+
+def test_make_valid_bowtie():
+    # self-intersecting bowtie gets fixed into valid polygon(s)
+    bow = G.Polygon([(0, 0), (10, 10), (10, 0), (0, 10)])
+    assert not bow.is_valid
+    fixed = G.make_valid(bow)
+    assert not fixed.is_empty
+    assert fixed.area == pytest.approx(50, rel=0.1)
