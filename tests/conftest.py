@@ -8,7 +8,7 @@ multi-chip path; see __graft_entry__.py).
 import os
 
 # must happen before jax import anywhere in the test process
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

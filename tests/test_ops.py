@@ -1,0 +1,157 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from origami_tpu.ops import resize, binarize, remap, morphology, tiling
+
+
+def test_resize_area_vs_cv2(synthetic_page):
+    import cv2
+    out = np.asarray(resize.resize(jnp.asarray(synthetic_page), (300, 200)))
+    ref = cv2.resize(synthetic_page, (200, 300), interpolation=cv2.INTER_AREA)
+    # anti-aliased linear vs true box filter: close but not identical on
+    # high-frequency content
+    assert out.shape == (300, 200)
+    assert np.mean(np.abs(out - ref.astype(np.float32))) < 16.0
+    # on smooth content the two are nearly identical
+    smooth = cv2.GaussianBlur(synthetic_page, (31, 31), 8)
+    out_s = np.asarray(resize.resize(jnp.asarray(smooth), (300, 200)))
+    ref_s = cv2.resize(smooth, (200, 300), interpolation=cv2.INTER_AREA)
+    assert np.mean(np.abs(out_s - ref_s.astype(np.float32))) < 1.5
+
+
+def test_resize_linear_roundtrip():
+    img = np.arange(64, dtype=np.float32).reshape(8, 8)
+    up = np.asarray(resize.resize(jnp.asarray(img), (16, 16), "linear"))
+    assert up.shape == (16, 16)
+    assert abs(up.mean() - img.mean()) < 1.0
+
+
+def test_sauvola_binarization(synthetic_page):
+    b = np.asarray(binarize.sauvola(jnp.asarray(synthetic_page), 15))
+    # paper is True, ink is False
+    assert b.dtype == bool
+    # ink fraction should be substantial but minority
+    ink = 1.0 - b.mean()
+    assert 0.05 < ink < 0.6
+    # separator pixels must be ink
+    assert not b[100, 200]
+
+
+def test_sauvola_matches_reference_formula():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (40, 50)).astype(np.float64)
+    t = np.asarray(binarize.sauvola_threshold(jnp.asarray(img), 5, 0.2, 128.0))
+    # direct NumPy computation of windowed mean/std with clamped windows
+    r = 2
+    for y, x in [(10, 10), (0, 0), (39, 49), (20, 0)]:
+        y0, y1 = max(0, y - r), min(40, y + r + 1)
+        x0, x1 = max(0, x - r), min(50, x + r + 1)
+        win = img[y0:y1, x0:x1]
+        m, s = win.mean(), win.std()
+        expect = m * (1 + 0.2 * ((s / 128.0) - 1))
+        assert t[y, x] == pytest.approx(expect, rel=1e-4)
+
+
+def test_otsu_bimodal():
+    rng = np.random.default_rng(0)
+    img = np.concatenate([rng.normal(50, 10, 5000),
+                          rng.normal(200, 10, 5000)]).clip(0, 255)
+    t = float(np.asarray(binarize.otsu_threshold(jnp.asarray(img))))
+    assert 80 < t < 170
+
+
+def test_bilinear_sample_identity():
+    img = np.arange(20, dtype=np.float32).reshape(4, 5)
+    ys, xs = np.meshgrid(np.arange(4), np.arange(5), indexing="ij")
+    coords = np.stack([xs, ys], axis=-1).astype(np.float32)
+    out = np.asarray(remap.bilinear_sample(jnp.asarray(img), jnp.asarray(coords)))
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_bilinear_sample_interp():
+    img = np.array([[0.0, 10.0], [20.0, 30.0]], dtype=np.float32)
+    coords = jnp.asarray([[0.5, 0.5]])
+    out = np.asarray(remap.bilinear_sample(jnp.asarray(img), coords))
+    assert out[0] == pytest.approx(15.0)
+    # out of bounds -> fill
+    out2 = np.asarray(remap.bilinear_sample(
+        jnp.asarray(img), jnp.asarray([[5.0, 0.0]]), fill=-1.0))
+    assert out2[0] == -1.0
+
+
+def test_affine_warp_translation():
+    img = np.zeros((10, 10), np.float32)
+    img[2, 3] = 7.0
+    # inverse map: output (x,y) samples source (x+3, y+2) => feature at (0,0)
+    m = jnp.asarray([[1, 0, 3], [0, 1, 2]], dtype=jnp.float32)
+    out = np.asarray(remap.affine_warp(jnp.asarray(img), m, (10, 10)))
+    assert out[0, 0] == pytest.approx(7.0)
+
+
+def test_extract_line_strips():
+    img = np.tile(np.arange(100, dtype=np.float32), (20, 1))
+    # two "lines": offsets at x=10 and x=50, identity orientation
+    frames = jnp.asarray([
+        [[1, 0, 10], [0, 1, 5]],
+        [[1, 0, 50], [0, 1, 5]],
+    ], dtype=jnp.float32)
+    strips = np.asarray(remap.extract_line_strips(
+        jnp.asarray(img), frames, jnp.asarray([8, 8]), 8, 30))
+    assert strips.shape == (2, 8, 30)
+    assert strips[0, 0, 0] == pytest.approx(10.0)
+    assert strips[1, 0, 0] == pytest.approx(50.0)
+
+
+def test_morphology_roundtrip():
+    m = np.zeros((20, 20), np.uint8)
+    m[5:15, 5:15] = 1
+    d = np.asarray(morphology.dilate(jnp.asarray(m), 3))
+    e = np.asarray(morphology.erode(jnp.asarray(d), 3))
+    np.testing.assert_array_equal(e, m)
+
+
+def test_skeletonize_bar():
+    m = np.zeros((30, 30), np.uint8)
+    m[10:16, 2:28] = 1  # thick horizontal bar
+    sk = np.asarray(morphology.skeletonize(jnp.asarray(m)))
+    # thin: each interior column has exactly 1 pixel
+    cols = sk[:, 8:22].sum(axis=0)
+    assert (cols <= 2).all() and cols.max() >= 1
+    assert sk.sum() < m.sum() / 2
+
+
+def test_edt():
+    m = np.zeros((21, 21), np.float32)
+    m[10, 10] = 1
+    d = np.asarray(morphology.label_edt(jnp.asarray(m)))
+    assert d[10, 10] == 0
+    assert d[10, 15] == pytest.approx(5.0)
+    assert d[15, 10] == pytest.approx(5.0)
+
+
+def test_tile_layout_coverage():
+    lay = tiling.TileLayout((1280, 2400), (1280, 896), beta0=50)
+    # inner regions exactly partition the canvas
+    cover = np.zeros((2400, 1280), np.int32)
+    for t in lay.tiles:
+        x0, y0, x1, y1 = t["inner"]
+        cover[y0:y1, x0:x1] += 1
+    assert (cover == 1).all()
+    # outer tiles overlap by >= beta0
+    for t in lay.tiles:
+        x0, y0, x1, y1 = t["outer"]
+        assert x1 - x0 == 1280 and y1 - y0 == 896
+
+
+def test_tile_extract_stitch():
+    lay = tiling.TileLayout((64, 100), (64, 48), beta0=8)
+    img = np.random.default_rng(0).random((100, 64, 1)).astype(np.float32)
+    tiles = lay.extract(jnp.asarray(img))
+    assert tiles.shape == (len(lay), 48, 64, 1)
+    # stitch the tiles' own pixels back: identity
+    labels = jax.vmap(lambda t: t[..., 0])(tiles)
+    out = np.asarray(lay.stitch_labels(labels))
+    np.testing.assert_allclose(out, img[..., 0], atol=1e-6)
