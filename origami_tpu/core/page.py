@@ -1,0 +1,105 @@
+"""Page: image loading + geometry + device-resident pixel access.
+
+Mirrors the reference Page contract (origami/core/page.py:65-117 —
+grayscale PIL load, extension-tolerant path resolution, optional dewarper,
+cached Sauvola binarization) but keeps a device copy of the pixels so the
+jit pipelines consume the page without repeated host->HBM transfers.
+"""
+
+from __future__ import annotations
+
+from functools import cached_property
+from pathlib import Path
+
+import numpy as np
+import PIL.Image
+
+from origami_tpu.core.math import Geometry
+
+_IMAGE_SUFFIXES = (".jpg", ".jpeg", ".png", ".tif", ".tiff", ".jp2", ".bmp")
+
+
+def find_image_path(path):
+    """Resolve a page path tolerating a different image extension."""
+    path = Path(path)
+    if path.exists():
+        return path
+    candidates = [c for c in path.parent.glob(path.stem + ".*")
+                  if c.suffix.lower() in _IMAGE_SUFFIXES]
+    if len(candidates) != 1:
+        raise FileNotFoundError(path)
+    return candidates[0]
+
+
+def is_image(path):
+    return Path(path).suffix.lower() in _IMAGE_SUFFIXES
+
+
+class Page:
+    def __init__(self, path=None, dewarping_grid=None, pixels=None):
+        if pixels is not None:
+            self._pixels = np.asarray(pixels)
+            if self._pixels.ndim == 3:
+                self._pixels = np.asarray(
+                    PIL.Image.fromarray(self._pixels).convert("L"))
+            self._path = Path(path) if path else None
+        else:
+            self._path = find_image_path(path)
+            self._pixels = np.asarray(
+                PIL.Image.open(str(self._path)).convert("L"))
+        self._grid = dewarping_grid
+
+    @property
+    def path(self):
+        return self._path
+
+    @property
+    def warped(self):
+        return self._pixels
+
+    @cached_property
+    def dewarped(self):
+        if self._grid is None:
+            return None
+        from origami_tpu.core.dewarp import Dewarper
+        return Dewarper(self._pixels, self._grid).dewarped
+
+    @property
+    def dewarper(self):
+        if self._grid is None:
+            return None
+        from origami_tpu.core.dewarp import Dewarper
+        return Dewarper(self._pixels, self._grid)
+
+    @property
+    def grid(self):
+        return self._grid
+
+    def size(self, dewarped=False):
+        px = self.dewarped if dewarped else self._pixels
+        h, w = px.shape[:2]
+        return (w, h)
+
+    def geometry(self, dewarped=False):
+        return Geometry(*self.size(dewarped))
+
+    def pixels(self, dewarped=False):
+        return self.dewarped if dewarped else self._pixels
+
+    @cached_property
+    def device_pixels(self):
+        import jax.numpy as jnp
+        return jnp.asarray(self._pixels)
+
+    @cached_property
+    def binarized(self):
+        """Sauvola-binarized warped page (True = paper) as numpy."""
+        import jax.numpy as jnp
+        from origami_tpu.ops.binarize import sauvola
+        return np.asarray(sauvola(self.device_pixels, 15))
+
+    @cached_property
+    def dewarped_binarized(self):
+        import jax.numpy as jnp
+        from origami_tpu.ops.binarize import sauvola
+        return np.asarray(sauvola(jnp.asarray(self.dewarped), 15))

@@ -1,0 +1,104 @@
+"""Line text recognizer: CNN + BiLSTM + CTC (Flax).
+
+The TPU-native counterpart of the reference's Calamari OCR models
+(origami/batch/detect/ocr.py:33-67, CNN+LSTM+CTC at line height 48/56).
+Lines are width-bucketed and padded so every bucket compiles once; the
+recurrent sweep is an nn.scan'd LSTM (unrolled by XLA over the time axis),
+and everything before it is MXU-friendly convs over (B, H, W, 1) strips.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class BiLSTM(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        # x: (B, T, F)
+        cell = nn.OptimizedLSTMCell(self.features)
+        ScanLSTM = nn.RNN(cell)
+        fwd = ScanLSTM(x)
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.features), reverse=True,
+                     keep_order=True)(x)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class LineRecognizer(nn.Module):
+    """(B, H, W, 1) line strips -> (B, T, num_classes+1) CTC logits."""
+
+    num_symbols: int            # excluding blank
+    conv_features: Sequence[int] = (64, 128, 256)
+    lstm_features: int = 256
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, widths=None):
+        # x in [0,1]; ink should be high (callers pass 1 - gray/255)
+        x = x.astype(self.dtype)
+        h = x.shape[1]
+        time_stride = 1
+        for i, f in enumerate(self.conv_features):
+            x = nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype,
+                        use_bias=False)(x)
+            x = nn.GroupNorm(num_groups=8, dtype=jnp.float32)(x)
+            x = nn.gelu(x)
+            if i < 2:
+                # pool H and W early (time downsample x4 overall)
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                time_stride *= 2
+            else:
+                x = nn.max_pool(x, (2, 1), strides=(2, 1))
+        # collapse the remaining height into features: (B, T, H'*C)
+        b, hh, ww, cc = x.shape
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, ww, hh * cc)
+        x = x.astype(jnp.float32)
+        x = BiLSTM(self.lstm_features)(x, None)
+        x = nn.Dense(self.lstm_features)(x)
+        x = nn.gelu(x)
+        logits = nn.Dense(self.num_symbols + 1)(x)   # blank at index 0
+        if widths is not None:
+            t_len = jnp.ceil(widths / time_stride).astype(jnp.int32)
+            pad = (jnp.arange(ww)[None, :] >= t_len[:, None]).astype(jnp.float32)
+        else:
+            pad = jnp.zeros((b, ww), jnp.float32)
+        return logits, pad
+
+    @property
+    def time_downsample(self):
+        return 4
+
+
+def create_recognizer(num_symbols, dtype=jnp.bfloat16):
+    return LineRecognizer(num_symbols=num_symbols, dtype=dtype)
+
+
+def init_recognizer(model, rng, height=48, width=256):
+    x = jnp.zeros((1, height, width, 1), jnp.float32)
+    return model.init(rng, x)["params"]
+
+
+def width_buckets(widths, time_downsample=4, min_bucket=128, max_bucket=2048):
+    """Static bucket sizes (powers-of-two-ish) so each width class compiles
+    once; replaces the reference's variable-width Calamari batches."""
+    buckets = []
+    b = min_bucket
+    while b < max_bucket:
+        buckets.append(b)
+        b = int(b * 1.5) // time_downsample * time_downsample
+    buckets.append(max_bucket)
+    out = []
+    for w in widths:
+        for b in buckets:
+            if w <= b:
+                out.append(b)
+                break
+        else:
+            out.append(max_bucket)
+    return out

@@ -1,0 +1,112 @@
+"""Model asset registry: on-disk model directories.
+
+Mirrors the reference's model contract (a directory per model holding
+meta.json + weights; origami/core/predict.py:171-228 reads meta.json keys
+"classes", "type", "full_size", "tile_size", "tile_beta", "backbone") with
+native Flax weights instead of Keras .h5:
+
+    <models_path>/<model_name>/
+        meta.json        {"kind": "unet"|"recognizer", "type": "region"|
+                          "separator", "classes": [...], "full_size": [W,H],
+                          "tile_size": [w,h], "tile_beta": 50, "width": 1.0,
+                          "charset": "...", "height": 48, ...}
+        params.msgpack   flax.serialization bytes of the parameter pytree
+
+Ensembles are groups of sibling model dirs with identical meta; their
+params are stacked into a leading axis for the vmapped ensemble apply.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from .unet import create_unet, init_unet
+from .recognizer import create_recognizer, init_recognizer
+
+
+def save_model(path, meta, params):
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / "meta.json", "w") as f:
+        json.dump(meta, f, indent=2)
+    params = jax.device_get(params)
+    with open(path / "params.msgpack", "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_meta(path):
+    with open(Path(path) / "meta.json", "r") as f:
+        return json.load(f)
+
+
+def _build(meta):
+    if meta["kind"] == "unet":
+        return create_unet(len(meta["classes"]),
+                           width=meta.get("width", 1.0))
+    if meta["kind"] == "recognizer":
+        return create_recognizer(len(meta["charset"]))
+    raise ValueError("unknown model kind %r" % meta.get("kind"))
+
+
+def _init_params(meta, seed=0):
+    rng = jax.random.PRNGKey(seed)
+    model = _build(meta)
+    if meta["kind"] == "unet":
+        th, tw = meta["tile_size"][1], meta["tile_size"][0]
+        return init_unet(model, rng, (th, tw),
+                         in_channels=meta.get("channels", 1))
+    return init_recognizer(model, rng, height=meta.get("height", 48))
+
+
+def load_model(path):
+    """Returns (module, params, meta)."""
+    path = Path(path)
+    meta = load_meta(path)
+    model = _build(meta)
+    template = _init_params(meta)
+    with open(path / "params.msgpack", "rb") as f:
+        params = serialization.from_bytes(template, f.read())
+    return model, params, meta
+
+
+def load_ensemble(paths):
+    """Load N same-architecture models and stack their params along a new
+    leading axis (for `unet.ensemble_apply`). Returns (module, stacked,
+    meta)."""
+    models = [load_model(p) for p in paths]
+    metas = [m[2] for m in models]
+    for m in metas[1:]:
+        if m["classes"] != metas[0]["classes"] or m["kind"] != metas[0]["kind"]:
+            raise ValueError("ensemble members disagree on architecture")
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[m[1] for m in models])
+    return models[0][0], stacked, metas[0]
+
+
+def init_and_save(path, meta, seed=0):
+    """Create a freshly initialized model on disk (used by tests, FAKE
+    pipelines, and as the starting point for training)."""
+    params = _init_params(meta, seed)
+    save_model(path, meta, params)
+    return params
+
+
+def default_segmentation_meta(kind="region", full_size=(1280, 2400),
+                              tile_size=(1280, 896), width=1.0):
+    """The BBZ-compatible class contracts (reference
+    origami/core/segment.py:97-135: 'regions' and 'separators' nets)."""
+    if kind == "region":
+        classes = ["TEXT", "TABULAR", "ILLUSTRATION", "BACKGROUND"]
+        t = "region"
+    else:
+        classes = ["H", "V", "T", "BACKGROUND"]
+        t = "separator"
+    return dict(
+        kind="unet", type=t, classes=classes, background="BACKGROUND",
+        full_size=list(full_size), tile_size=list(tile_size),
+        tile_beta=50, width=width, channels=1, version=1)

@@ -7,12 +7,17 @@ multi-chip path; see __graft_entry__.py).
 
 import os
 
-# must happen before jax import anywhere in the test process
+# must happen before jax backends initialize anywhere in the test process
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# the axon TPU-tunnel plugin (sitecustomize) sets jax_platforms
+# programmatically, which overrides the env var — force CPU via config.
+import jax
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,119 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from origami_tpu.models import unet, recognizer, ctc, registry
+
+
+def test_unet_shapes():
+    model = unet.create_unet(4, width=0.125)
+    params = unet.init_unet(model, jax.random.PRNGKey(0), (64, 96))
+    x = jnp.zeros((2, 64, 96, 1))
+    logits = model.apply({"params": params}, x)
+    assert logits.shape == (2, 64, 96, 4)
+    assert logits.dtype == jnp.float32
+
+
+def test_unet_ensemble_vote():
+    model = unet.create_unet(3, width=0.125)
+    p1 = unet.init_unet(model, jax.random.PRNGKey(0), (32, 32))
+    p2 = unet.init_unet(model, jax.random.PRNGKey(1), (32, 32))
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), p1, p2)
+    x = jnp.ones((1, 32, 32, 1)) * 0.5
+    probs = unet.ensemble_apply(model, stacked, x)
+    assert probs.shape == (1, 32, 32, 3)
+    # summed softmaxes of 2 models sum to 2 per pixel
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 2.0, atol=1e-3)
+
+
+def test_recognizer_shapes():
+    model = recognizer.create_recognizer(20)
+    params = recognizer.init_recognizer(model, jax.random.PRNGKey(0),
+                                        height=48, width=128)
+    x = jnp.zeros((2, 48, 128, 1))
+    logits, pad = model.apply({"params": params}, x,
+                              widths=jnp.asarray([128, 64]))
+    assert logits.shape[0] == 2
+    assert logits.shape[2] == 21  # +1 blank
+    assert pad.shape == logits.shape[:2]
+    # second sample has padding in the tail
+    assert pad[1].sum() > 0 and pad[0].sum() == 0
+
+
+def test_ctc_greedy_decode():
+    # construct logits spelling "ab" with blanks: indices a=1, b=2
+    T, K = 8, 4
+    seq = [0, 1, 1, 0, 2, 0, 0, 0]
+    logits = np.full((1, T, K), -10.0, np.float32)
+    for t, s in enumerate(seq):
+        logits[0, t, s] = 10.0
+    ids, lengths, conf = ctc.greedy_decode(
+        jnp.asarray(logits), jnp.zeros((1, T)))
+    assert int(lengths[0]) == 2
+    assert ids[0, 0] == 1 and ids[0, 1] == 2
+    assert float(conf[0]) > 0.9
+    assert ctc.ids_to_text(ids[0], lengths[0], "ab") == "ab"
+
+
+def test_ctc_loss_decreases():
+    import optax
+    model = recognizer.create_recognizer(5)
+    params = recognizer.init_recognizer(model, jax.random.PRNGKey(0),
+                                        height=32, width=64)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 64, 1))
+    labels = jnp.asarray([[1, 2, 3, 0], [2, 2, 4, 0]])
+    label_pad = jnp.asarray([[0., 0., 0., 1.], [0., 0., 0., 1.]])
+
+    def loss_fn(p):
+        logits, pad = model.apply({"params": p}, x)
+        return ctc.ctc_loss(logits, pad, labels, label_pad)
+
+    opt = optax.adam(1e-3)
+    state = opt.init(params)
+    l0 = float(loss_fn(params))
+    p = params
+    for _ in range(5):
+        g = jax.grad(loss_fn)(p)
+        updates, state = opt.update(g, state)
+        p = optax.apply_updates(p, updates)
+    l1 = float(loss_fn(p))
+    assert np.isfinite(l0) and np.isfinite(l1)
+    assert l1 < l0
+
+
+def test_beam_search_matches_greedy_simple():
+    T, K = 6, 4
+    seq = [0, 1, 0, 3, 3, 0]
+    logits = np.full((T, K), -8.0, np.float32)
+    for t, s in enumerate(seq):
+        logits[t, s] = 8.0
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    text, score = ctc.beam_search_decode(logp, "abc", beam_width=4)
+    assert text == "ac"
+
+
+def test_registry_roundtrip(tmp_path):
+    meta = registry.default_segmentation_meta(
+        "region", full_size=(64, 96), tile_size=(64, 48), width=0.125)
+    registry.init_and_save(tmp_path / "m1", meta)
+    model, params, meta2 = registry.load_model(tmp_path / "m1")
+    assert meta2["classes"] == ["TEXT", "TABULAR", "ILLUSTRATION", "BACKGROUND"]
+    x = jnp.zeros((1, 48, 64, 1))
+    out = model.apply({"params": params}, x)
+    assert out.shape == (1, 48, 64, 4)
+
+    # ensemble of two
+    registry.init_and_save(tmp_path / "m2", meta, seed=1)
+    model, stacked, _ = registry.load_ensemble(
+        [tmp_path / "m1", tmp_path / "m2"])
+    probs = __import__("origami_tpu.models.unet", fromlist=["unet"]) \
+        .ensemble_apply(model, stacked, x)
+    assert probs.shape == (1, 48, 64, 4)
+
+
+def test_width_buckets():
+    b = recognizer.width_buckets([100, 300, 2000, 5000])
+    assert b[0] >= 100 and b[1] >= 300 and b[3] == 2048
+    assert all(x % 4 == 0 for x in b)
