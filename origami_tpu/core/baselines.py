@@ -1,0 +1,220 @@
+"""Tesseract-free text-line (baseline) detection.
+
+The reference delegates baseline detection to the Tesseract C++ API
+(origami/core/block.py:504-567, AnalyseLayout with PSM SINGLE_BLOCK) —
+identified in SURVEY.md §7 as the riskiest dependency to replace. This
+module implements a projection-profile detector over device-binarized
+block crops:
+
+  1. estimate the block's text skew (shear sweep, same scoring as
+     core.flow._patch_skews but over the whole crop);
+  2. build the sheared row ink profile, smooth it, and segment it into
+     text bands at an adaptive threshold;
+  3. per band: column extent from the column ink profile, baseline from
+     the per-column lowest-ink-pixel distribution, x-height/ascent/
+     descent from band shape.
+
+Emits the same detection payload the pipeline stores in lines zips
+(baseline endpoints, ascent/descent/height — docs/formats.md#lineszip).
+A forced "fake line" covering the whole block is produced when nothing is
+detected (reference behavior: origami/core/block.py:484-502).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class DetectedLine:
+    p: np.ndarray          # bottom-left of the line rectangle
+    right: np.ndarray      # along-baseline vector
+    up: np.ndarray         # height vector
+    baseline: tuple        # ((x0, y0), (x1, y1))
+    ascent: float
+    descent: float
+    height: float
+    fake: bool = False
+
+    @property
+    def data(self):
+        return dict(
+            baseline=[list(map(float, self.baseline[0])),
+                      list(map(float, self.baseline[1]))],
+            ascent=float(self.ascent),
+            descent=float(self.descent),
+            height=float(self.height))
+
+
+def _smooth(x, k):
+    if k <= 1 or len(x) < 3:
+        return x
+    kernel = np.ones(k) / k
+    return np.convolve(x, kernel, mode="same")
+
+
+def estimate_skew(ink, max_angle=0.12, n_angles=25):
+    """Skew angle maximizing sheared-projection variance. ink: (H, W)
+    float mask (1 = ink)."""
+    h, w = ink.shape
+    if h < 4 or w < 4 or ink.sum() < 4:
+        return 0.0
+    xs = np.arange(w) - w / 2.0
+    best_a, best_s = 0.0, -1.0
+    col_sums = ink.sum(axis=0)
+    for a in np.linspace(-max_angle, max_angle, n_angles):
+        shift = np.tan(a) * xs
+        prof = np.zeros(h + 2)
+        ys = np.arange(h)[:, None] + shift[None, :]
+        yi = np.clip(np.round(ys).astype(int), 0, h - 1)
+        np.add.at(prof, yi.reshape(-1), ink.reshape(-1))
+        s = prof.var()
+        if s > best_s:
+            best_s, best_a = s, a
+    return float(best_a)
+
+
+def detect_baselines(crop_binarized, origin=(0, 0), min_line_height=4,
+                     force_one=False, max_angle=0.12):
+    """Detect text lines in a binarized crop (True = paper).
+
+    Returns a list of DetectedLine in page coordinates (crop offset by
+    `origin`).
+    """
+    ink = (~np.asarray(crop_binarized, dtype=bool)).astype(np.float32)
+    h, w = ink.shape
+    origin = np.asarray(origin, dtype=np.float64)
+    if h < min_line_height or w < 2 or ink.sum() < min_line_height:
+        return [_fake_line(origin, w, h)] if force_one else []
+
+    angle = estimate_skew(ink, max_angle=max_angle)
+    tan_a = math.tan(angle)
+    xs = np.arange(w) - w / 2.0
+    shift = tan_a * xs
+
+    # sheared row profile
+    prof = np.zeros(h)
+    ys = np.arange(h)[:, None] + shift[None, :]
+    yi = np.clip(np.round(ys).astype(int), 0, h - 1)
+    np.add.at(prof, yi.reshape(-1), ink.reshape(-1))
+    sm = _smooth(prof, 3)
+
+    thresh = max(0.08 * sm.max(), 0.5)
+    on = sm > thresh
+
+    # segment into bands
+    bands = []
+    start = None
+    for y in range(h):
+        if on[y] and start is None:
+            start = y
+        elif not on[y] and start is not None:
+            bands.append((start, y))
+            start = None
+    if start is not None:
+        bands.append((start, h))
+
+    # merge bands separated by tiny gaps, drop dwarf bands
+    merged = []
+    for b in bands:
+        if merged and b[0] - merged[-1][1] <= max(1, min_line_height // 4):
+            merged[-1] = (merged[-1][0], b[1])
+        else:
+            merged.append(list(b))
+    med_h = np.median([b[1] - b[0] for b in merged]) if merged else 0
+    bands = [b for b in merged
+             if b[1] - b[0] >= max(min_line_height, 0.3 * med_h)]
+
+    if not bands:
+        return [_fake_line(origin, w, h)] if force_one else []
+
+    out = []
+    cos_a = math.cos(angle)
+    sin_a = math.sin(angle)
+    for y0, y1 in bands:
+        # per-column ink inside the sheared band
+        band_rows = (yi >= y0) & (yi < y1)
+        col_ink = (ink * band_rows).sum(axis=0)
+        cols = np.nonzero(col_ink > 0)[0]
+        if len(cols) < 2:
+            continue
+        x0, x1 = int(cols[0]), int(cols[-1]) + 1
+
+        # baseline: high quantile of per-column lowest ink position, in
+        # profile (sheared) space: profile row = y_img + shift(x)
+        sub = ink[:, x0:x1] * band_rows[:, x0:x1]
+        ys_grid = np.arange(h)[:, None]
+        has = sub.sum(axis=0) > 0
+        if not has.any():
+            continue
+        lowest = np.where(sub > 0, ys_grid + shift[None, x0:x1], -1e9) \
+            .max(axis=0)
+        base_y = float(np.quantile(lowest[has], 0.85))
+        band_h = max(float(y1 - y0), min_line_height)
+        descent = max(0.0, min(0.35 * band_h, y1 - base_y))
+        ascent = max(base_y - y0, min_line_height * 0.5)
+        height = ascent
+
+        def to_page(x, y_prof):
+            # invert the shear: y_img = y_prof - tan(a) * (x - w/2)
+            yy = y_prof - tan_a * (x - w / 2.0)
+            return origin + np.array([x, yy])
+
+        p1 = to_page(x0, base_y)
+        p2 = to_page(x1, base_y)
+        right = p2 - p1
+        n = np.array([-right[1], right[0]])
+        n = n / (np.linalg.norm(n) + 1e-9)
+        if n[1] > 0:
+            n = -n          # ensure "up" points to smaller y (image up)
+        up_vec = n * (ascent + descent)
+        p_bottom = p1 + (-n) * descent
+        out.append(DetectedLine(
+            p=p_bottom, right=right, up=up_vec,
+            baseline=(tuple(p1), tuple(p2)),
+            ascent=ascent, descent=descent, height=height))
+
+    if not out and force_one:
+        return [_fake_line(origin, w, h)]
+    return out
+
+
+def _fake_line(origin, w, h):
+    p = origin + np.array([0.0, float(h)])
+    return DetectedLine(
+        p=p, right=np.array([float(w), 0.0]), up=np.array([0.0, -float(h)]),
+        baseline=(tuple(origin + [0.0, h * 0.8]),
+                  tuple(origin + [float(w), h * 0.8])),
+        ascent=h * 0.8, descent=h * 0.2, height=float(h), fake=True)
+
+
+def extend_baseline(text_area, p, right, up):
+    """Extend a line frame so `right` spans the full text area width at
+    the line's vertical position (reference `_extended_baseline`,
+    origami/core/block.py)."""
+    from origami_tpu import geometry as G
+    minx, miny, maxx, maxy = text_area.bounds
+    d = right / (np.linalg.norm(right) + 1e-9)
+    span = math.hypot(maxx - minx, maxy - miny) * 2
+    mid = p + right / 2
+    probe = G.LineString([mid - d * span, mid + d * span])
+    clipped = probe.intersection(text_area)
+    if clipped.is_empty:
+        return p, right
+    best = None
+    if clipped.geom_type == "LineString":
+        best = clipped
+    else:
+        segs = [g for g in clipped.geoms if g.geom_type == "LineString"]
+        if segs:
+            best = max(segs, key=lambda s: s.length)
+    if best is None:
+        return p, right
+    c = best.np_coords
+    q0, q1 = c[0], c[-1]
+    if np.dot(q1 - q0, right) < 0:
+        q0, q1 = q1, q0
+    return q0, q1 - q0

@@ -1,0 +1,361 @@
+"""Flow-field page dewarping — the numeric heart of the pipeline.
+
+Algorithm family: interpolated-vector-field document warping (Schneider,
+Block & Rojas, ICDAR 2007), as in the reference (origami/core/dewarp.py).
+The reference builds the grid on host with scipy/shapely: scattered linear
+interpolation of sampled angles, a per-column Python integration loop, and
+STRtree-based ray/polyline intersection across two worker threads
+(origami/core/dewarp.py:292-493). Here the whole construction is ONE jit
+graph with static shapes:
+
+  * angle fields are evaluated by masked inverse-distance weighting over
+    the (padded) sample set — a dense (points x samples) computation that
+    XLA maps onto the MXU, replacing scattered-hull interpolation;
+  * the horizontal grid integrates the H field with a `lax.scan` over
+    columns (reference hot loop dewarp.py:421-439);
+  * the vertical pass marches V-field rays across H-streamline rows with
+    an all-pairs segment-intersection solve per row inside a second scan
+    (replacing ShapelyBatchIntersections, dewarp.py:220-264);
+  * page borders are covered up-front by starting the integration a pad
+    margin outside the page instead of the reference's data-dependent
+    while-loop border extension (dewarp.py:341-419) — shapes stay static.
+
+The resulting sample grid is stored in the reference's dewarp.zip format
+(data.npy (H, W, 2) float32 + meta.json {"version", "cell", "shape"}),
+so both systems read each other's grids.
+"""
+
+from __future__ import annotations
+
+import functools
+import io as _io
+import json
+import math
+import zipfile
+from functools import cached_property, lru_cache
+
+import numpy as np
+
+from origami_tpu.core.math import Geometry
+
+
+# ---------------------------------------------------------------------------
+# device field + grid construction
+# ---------------------------------------------------------------------------
+
+def _field_eval(points, sample_xy, sample_phi, sample_mask, phi0):
+    """Masked IDW interpolation of angles at `points` (N, 2).
+
+    Returns unit direction vectors (N, 2). With no valid samples, the
+    constant fallback angle phi0 is used.
+    """
+    import jax.numpy as jnp
+    d2 = jnp.sum(
+        (points[:, None, :] - sample_xy[None, :, :]) ** 2, axis=-1)
+    w = sample_mask[None, :] / (d2 + 25.0)        # soften at ~5px scale
+    wsum = jnp.sum(w, axis=1)
+    # interpolate angles via their unit vectors to avoid wrap issues
+    cphi = jnp.cos(sample_phi)[None, :]
+    sphi = jnp.sin(sample_phi)[None, :]
+    cx = jnp.sum(w * cphi, axis=1)
+    sx = jnp.sum(w * sphi, axis=1)
+    have = wsum > 1e-12
+    cx = jnp.where(have, cx, jnp.cos(phi0))
+    sx = jnp.where(have, sx, jnp.sin(phi0))
+    n = jnp.sqrt(cx * cx + sx * sx) + 1e-12
+    return jnp.stack([cx / n, sx / n], axis=-1)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("n_gy", "n_gx", "res", "pad_cells"))
+def build_grid_device(h_xy, h_phi, h_mask, v_xy, v_phi, v_mask,
+                      n_gy, n_gx, res, pad_cells=2):
+    """Construct the dewarp sample grid (n_gy, n_gx, 2) on device.
+
+    h_*: padded H-field samples (points (S,2), angles (S,), mask (S,));
+    v_*: same for the V field. Static: grid shape, cell size, pad.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    res_f = jnp.float32(res)
+    origin = -pad_cells * res_f
+
+    # --- horizontal pass: integrate H streamlines column by column -------
+    ys = origin + jnp.arange(n_gy, dtype=jnp.float32) * res_f
+    pts0 = jnp.stack([jnp.full((n_gy,), origin), ys], axis=-1)
+
+    def h_step(pts, _):
+        d = _field_eval(pts, h_xy, h_phi, h_mask, 0.0)
+        return pts + d * res_f, pts
+
+    _, grid_h = jax.lax.scan(h_step, pts0, None, length=n_gx)
+    grid_h = jnp.transpose(grid_h, (1, 0, 2))      # (n_gy, n_gx, 2)
+
+    # --- vertical pass: march V rays, snapping to each H row -------------
+    # per-row max step length (worst-case 60 degree shear, like the
+    # reference's max_angle bound)
+    row_dy = jnp.max(grid_h[1:, :, 1] - grid_h[:-1, :, 1])
+    max_len = row_dy / jnp.cos(jnp.deg2rad(60.0)) + res_f
+
+    def intersect_row(p0, d, row):
+        """Intersect rays (p0 + t*d*max_len) with the row polyline.
+
+        p0: (n_gx, 2), d: (n_gx, 2), row: (n_gx, 2) points of the next
+        H row. Border segments are extrapolated far out so a solution
+        always exists; picks the intersection closest to p0.
+        """
+        a = row[:-1]                                  # (S, 2) seg start
+        b = row[1:]                                   # (S, 2) seg end
+        # extrapolate the two border segments outwards
+        big = 1e5
+        dir0 = a[0] - b[0]
+        dirn = b[-1] - a[-1]
+        n0 = dir0 / (jnp.linalg.norm(dir0) + 1e-12)
+        nn = dirn / (jnp.linalg.norm(dirn) + 1e-12)
+        a = a.at[0].set(a[0] + n0 * big)
+        b = b.at[-1].set(b[-1] + nn * big)
+
+        r = d * max_len                               # (n_gx, 2)
+        s = (b - a)                                   # (S, 2)
+        qp = a[None, :, :] - p0[:, None, :]           # (n_gx, S, 2)
+        denom = r[:, None, 0] * s[None, :, 1] - r[:, None, 1] * s[None, :, 0]
+        t = (qp[..., 0] * s[None, :, 1] - qp[..., 1] * s[None, :, 0]) \
+            / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        u = (qp[..., 0] * r[:, None, 1] - qp[..., 1] * r[:, None, 0]) \
+            / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        valid = (u >= -1e-6) & (u <= 1 + 1e-6) & (t > 1e-6)
+        t_sel = jnp.where(valid, t, jnp.inf)
+        best = jnp.argmin(t_sel, axis=1)              # (n_gx,)
+        t_best = jnp.take_along_axis(t_sel, best[:, None], axis=1)[:, 0]
+        # no intersection at all -> fall back to a plain field step
+        ok = jnp.isfinite(t_best)
+        p_hit = p0 + r * t_best[:, None]
+        p_fallback = p0 + d * res_f
+        return jnp.where(ok[:, None], p_hit, p_fallback)
+
+    def v_step(p0, row_next):
+        d = _field_eval(p0, v_xy, v_phi, v_mask, jnp.pi / 2)
+        p1 = intersect_row(p0, d, row_next)
+        return p1, p0
+
+    p_last, rows = jax.lax.scan(v_step, grid_h[0], grid_h[1:])
+    grid_hv = jnp.concatenate([rows, p_last[None]], axis=0)
+    return grid_hv.astype(jnp.float32)
+
+
+def _pad_samples(points, values, max_n):
+    pts = np.zeros((max_n, 2), dtype=np.float32)
+    phi = np.zeros((max_n,), dtype=np.float32)
+    mask = np.zeros((max_n,), dtype=np.float32)
+    n = min(len(points), max_n)
+    if n:
+        pts[:n] = np.asarray(points, dtype=np.float32)[:n]
+        phi[:n] = np.asarray(values, dtype=np.float32)[:n]
+        mask[:n] = 1.0
+    return pts, phi, mask
+
+
+def _round_up(x, m):
+    return int(-(-x // m) * m)
+
+
+class GridFactory:
+    """Host wrapper choosing static shapes and invoking the device build.
+
+    Grid shape is derived from the page size with a fixed pad margin
+    (instead of the reference's runtime estimate_extent + border
+    extension), then bucketed so pages of similar size share a compile.
+    """
+
+    def __init__(self, page_size, samples_h, samples_v, grid_res=25,
+                 max_grid_size=1000, max_samples=1024):
+        self._size = page_size
+        self._res = int(grid_res)
+        self._max_grid = max_grid_size
+        self._max_samples = max_samples
+        self._samples_h = samples_h
+        self._samples_v = samples_v
+
+    @property
+    def res(self):
+        return self._res
+
+    @property
+    def std(self):
+        return max(self._samples_h.std, self._samples_v.std)
+
+    def __call__(self):
+        import jax.numpy as jnp
+        w, h = self._size
+        pad = 2
+        # bucket static grid dims to multiples of 8 cells
+        n_gx = _round_up(math.ceil(w / self._res) + 2 * pad + 2, 8)
+        n_gy = _round_up(math.ceil(h / self._res) + 2 * pad + 2, 8)
+        if max(n_gx, n_gy) > self._max_grid:
+            raise RuntimeError("grid too big: (%d, %d)" % (n_gy, n_gx))
+        hs = _pad_samples(self._samples_h.points, self._samples_h.values,
+                          self._max_samples)
+        vs = _pad_samples(self._samples_v.points, self._samples_v.values,
+                          self._max_samples)
+        grid = build_grid_device(
+            jnp.asarray(hs[0]), jnp.asarray(hs[1]), jnp.asarray(hs[2]),
+            jnp.asarray(vs[0]), jnp.asarray(vs[1]), jnp.asarray(vs[2]),
+            n_gy=n_gy, n_gx=n_gx, res=self._res, pad_cells=pad)
+        return Grid(np.asarray(grid), self._res)
+
+
+# ---------------------------------------------------------------------------
+# host-facing Grid (artifact IO + coordinate transforms)
+# ---------------------------------------------------------------------------
+
+class Grid:
+    def __init__(self, hv, res):
+        self._hv = np.asarray(hv, dtype=np.float32)
+        self._res = int(res)
+
+    @staticmethod
+    def create(page_size, samples_h, samples_v, grid_res=25, **kwargs):
+        return GridFactory(page_size, samples_h, samples_v,
+                           grid_res=grid_res, **kwargs)()
+
+    @property
+    def geometry(self):
+        h, w = self._hv.shape[:2]
+        return Geometry(w * self._res, h * self._res)
+
+    @property
+    def resolution(self):
+        return self._res
+
+    @property
+    def warping(self):
+        """Warp magnitude: spread of the grid's local distortions."""
+        pts = self._hv
+        dy = (pts[1:, :, 1] - pts[:-1, :, 1]).flatten()
+        dx = (pts[:, 1:, 0] - pts[:, :-1, 0]).flatten()
+        return float(max(np.std(dx), np.std(dy)))
+
+    @lru_cache(maxsize=2)
+    def points(self, resolution="full"):
+        """The dewarped->warped map: 'sample' = the cell grid, 'full' =
+        per-pixel (upsampled by `res`)."""
+        if resolution == "sample":
+            return self._hv
+        if resolution == "full":
+            import jax.numpy as jnp
+            from origami_tpu.ops.resize import resize
+            h, w = self._hv.shape[:2]
+            up = resize(jnp.asarray(self._hv), (h * self._res, w * self._res),
+                        method="linear")
+            return np.asarray(up, dtype=np.float32)
+        raise ValueError(resolution)
+
+    # -- transforms --------------------------------------------------------
+    def inverse_points(self, dewarped_pts):
+        """Map dewarped (x, y) points to warped coordinates (bilinear in
+        the sample grid — the direction stored in the artifact)."""
+        pts = np.asarray(dewarped_pts, dtype=np.float64).reshape(-1, 2)
+        gx = pts[:, 0] / self._res
+        gy = pts[:, 1] / self._res
+        h, w = self._hv.shape[:2]
+        gx = np.clip(gx, 0, w - 1 - 1e-6)
+        gy = np.clip(gy, 0, h - 1 - 1e-6)
+        x0 = np.floor(gx).astype(int)
+        y0 = np.floor(gy).astype(int)
+        tx = (gx - x0)[:, None]
+        ty = (gy - y0)[:, None]
+        g = self._hv
+        out = (g[y0, x0] * (1 - tx) * (1 - ty)
+               + g[y0, x0 + 1] * tx * (1 - ty)
+               + g[y0 + 1, x0] * (1 - tx) * ty
+               + g[y0 + 1, x0 + 1] * tx * ty)
+        return out
+
+    # reference-compatible aliases
+    @property
+    def inverse(self):
+        return self.inverse_points
+
+    @cached_property
+    def _forward_interp(self):
+        """Scattered interpolation warped -> dewarped over grid samples."""
+        from origami_tpu.core.lingrid import lininterp
+        h, w = self._hv.shape[:2]
+        src = self._hv.reshape(-1, 2)
+        gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+        dst = np.stack([gx.flatten(), gy.flatten()], axis=-1) \
+            .astype(np.float64) * self._res
+        minx, miny = src.min(axis=0)
+        maxx, maxy = src.max(axis=0)
+        return lininterp(src, dst, (minx, miny, maxx, maxy))
+
+    def transformer_points(self, warped_pts):
+        """Map warped (x, y) points into dewarped space."""
+        pts = np.asarray(warped_pts, dtype=np.float64).reshape(-1, 2)
+        return self._forward_interp(pts)
+
+    @property
+    def transformer(self):
+        """(xs, ys) -> (xs', ys') callable for geometry.transform."""
+        def f(x, y):
+            out = self.transformer_points(np.c_[x, y])
+            return out[:, 0], out[:, 1]
+        return f
+
+    # -- artifact IO (docs/formats.md#dewarpzip) ---------------------------
+    @staticmethod
+    def open(path):
+        with zipfile.ZipFile(path, "r") as zf:
+            info = json.loads(zf.read("meta.json").decode("utf8"))
+            grid = np.load(_io.BytesIO(zf.read("data.npy")),
+                           allow_pickle=False)
+        return Grid(grid.reshape(info["shape"]), info["cell"])
+
+    def save(self, file_or_path, compression=zipfile.ZIP_DEFLATED):
+        buf = _io.BytesIO()
+        np.save(buf, self._hv.astype(np.float32), allow_pickle=False)
+        info = dict(version=1, cell=self._res,
+                    shape=list(self._hv.shape))
+        if hasattr(file_or_path, "write"):
+            zf = zipfile.ZipFile(file_or_path, "w", compression)
+        else:
+            zf = zipfile.ZipFile(str(file_or_path), "w", compression)
+        with zf:
+            zf.writestr("data.npy", buf.getvalue())
+            zf.writestr("meta.json", json.dumps(info))
+
+
+class Dewarper:
+    """Applies a grid to images: one batched device remap."""
+
+    def __init__(self, image, grid):
+        self._image = np.asarray(image)
+        self._grid = grid
+
+    @property
+    def grid(self):
+        return self._grid
+
+    @cached_property
+    def dewarped(self):
+        import jax.numpy as jnp
+        from origami_tpu.ops.remap import remap
+        m = self._grid.points("full")
+        out = remap(jnp.asarray(self._image.astype(np.float32)),
+                    jnp.asarray(m), fill=255.0)
+        return np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+
+    def dewarp_image(self, image, scale_to=None):
+        import jax.numpy as jnp
+        from origami_tpu.ops.remap import remap
+        image = np.asarray(image)
+        m = self._grid.points("full").copy()
+        h0, w0 = self._image.shape[:2]
+        h1, w1 = image.shape[:2]
+        if (h0, w0) != (h1, w1):
+            m = m * np.array([w1 / w0, h1 / h0], dtype=np.float32)
+        out = remap(jnp.asarray(image.astype(np.float32)), jnp.asarray(m),
+                    fill=255.0)
+        return np.clip(np.asarray(out), 0, 255).astype(np.uint8)

@@ -164,7 +164,10 @@ class Segmentation:
                     classes=p.classes.as_dict())))
 
     @staticmethod
-    def open(path, open=open):
+    def open(path, open=None):
+        # NB: inside the class body a bare `open` default would bind to
+        # this very staticmethod, not the builtin
+        open = open or __import__("builtins").open
         predictions = []
         with open(path, "rb") as f:
             with zipfile.ZipFile(f, "r") as zf:
@@ -180,8 +183,9 @@ class Segmentation:
         return Segmentation(predictions)
 
     @staticmethod
-    def read_predictors(path, open=open):
+    def read_predictors(path, open=None):
         """Lightweight metadata-only read of segment.zip."""
+        open = open or __import__("builtins").open
         out = []
         with open(path, "rb") as f:
             with zipfile.ZipFile(f, "r") as zf:

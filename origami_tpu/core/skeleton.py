@@ -1,0 +1,177 @@
+"""Skeleton graph extraction for separator polyline estimation.
+
+The reference thins separator masks and traces the skeleton into a graph
+with a numba-JIT multi-source BFS (origami/core/skeleton.py:27-114).
+Here thinning runs on device (ops.morphology.skeletonize, Zhang-Suen) and
+the graph trace is a vectorized-numpy walk over the (sparse) skeleton
+pixels: nodes are junction/end pixels, edges are the pixel paths between
+them, each path annotated with its mean distance-transform value ("time",
+i.e. half the stroke width).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_OFFS = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
+         (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+class SkeletonGraph:
+    """nodes: {id: (x, y)}; edges: list of (n0, n1, path_xy, width)."""
+
+    def __init__(self, nodes, edges):
+        self.nodes = nodes
+        self.edges = edges
+
+    def longest_path(self, direction=None):
+        """Approximate longest path through the graph, optionally biased
+        to progress along `direction` (unit 2-vector). Returns (N, 2)
+        coords or None."""
+        if not self.edges:
+            return None
+        import networkx as nx
+        g = nx.Graph()
+        for i, (n0, n1, path, width) in enumerate(self.edges):
+            c = np.asarray(path)
+            if direction is not None and len(c) >= 2:
+                proj = abs(float((c[-1] - c[0]) @ np.asarray(direction)))
+                length = proj + 0.25 * _path_len(c)
+            else:
+                length = _path_len(c)
+            if g.has_edge(n0, n1):
+                if g[n0][n1]["weight"] >= length:
+                    continue
+            g.add_edge(n0, n1, weight=length, index=i)
+        # two-sweep heuristic: farthest node from an arbitrary node, then
+        # farthest from that — exact on trees, good on near-trees
+        start = next(iter(g.nodes))
+        a = _farthest(g, start)
+        b = _farthest(g, a)
+        try:
+            node_path = nx.shortest_path(g, a, b,
+                                         weight=lambda u, v, d: -0.0 + 1.0
+                                         / (1e-9 + d["weight"]))
+        except nx.NetworkXNoPath:
+            return None
+        coords = []
+        for u, v in zip(node_path[:-1], node_path[1:]):
+            e = self.edges[g[u][v]["index"]]
+            seg = np.asarray(e[2])
+            if e[0] != u:
+                seg = seg[::-1]
+            if coords:
+                seg = seg[1:]
+            coords.append(seg)
+        if not coords:
+            return None
+        return np.vstack(coords)
+
+    @property
+    def mean_width(self):
+        if not self.edges:
+            return 1.0
+        ws = [e[3] for e in self.edges]
+        ls = [max(len(e[2]), 1) for e in self.edges]
+        return float(np.average(ws, weights=ls))
+
+
+def _path_len(c):
+    if len(c) < 2:
+        return 0.0
+    return float(np.sum(np.linalg.norm(np.diff(c, axis=0), axis=1)))
+
+
+def _farthest(g, start):
+    import networkx as nx
+    dist = nx.single_source_dijkstra_path_length(
+        g, start, weight=lambda u, v, d: d["weight"])
+    # farthest by accumulated weight
+    return max(dist.items(), key=lambda kv: kv[1])[0]
+
+
+def trace_skeleton(skel, dist=None):
+    """Trace a boolean skeleton mask into a SkeletonGraph.
+
+    dist: optional distance-transform of the original mask (for widths).
+    """
+    sk = np.asarray(skel, dtype=bool)
+    h, w = sk.shape
+    ys, xs = np.nonzero(sk)
+    if len(ys) == 0:
+        return SkeletonGraph({}, [])
+
+    idx = {}
+    for i, (y, x) in enumerate(zip(ys, xs)):
+        idx[(y, x)] = i
+
+    # neighbour counts
+    def neighbours(y, x):
+        out = []
+        for dy, dx in _OFFS:
+            ny, nx_ = y + dy, x + dx
+            if 0 <= ny < h and 0 <= nx_ < w and sk[ny, nx_]:
+                out.append((ny, nx_))
+        return out
+
+    ncount = np.zeros(len(ys), dtype=np.int32)
+    for i, (y, x) in enumerate(zip(ys, xs)):
+        ncount[i] = len(neighbours(y, x))
+
+    is_node = (ncount != 2)
+    node_ids = {}
+    nodes = {}
+    for i in np.nonzero(is_node)[0]:
+        node_ids[(ys[i], xs[i])] = len(nodes)
+        nodes[len(nodes)] = (float(xs[i]), float(ys[i]))
+
+    if not nodes:
+        # pure cycle: pick an arbitrary pixel as the single node
+        p = (ys[0], xs[0])
+        node_ids[p] = 0
+        nodes[0] = (float(p[1]), float(p[0]))
+
+    def width_at(path):
+        if dist is None:
+            return 1.0
+        vals = [dist[int(py), int(px)] for px, py in path]
+        return 2.0 * float(np.mean(vals)) if vals else 1.0
+
+    edges = []
+    visited_edges = set()
+    for (y0, x0), n0 in node_ids.items():
+        for ny, nx_ in neighbours(y0, x0):
+            # walk from the node through degree-2 pixels to the next node
+            prev = (y0, x0)
+            cur = (ny, nx_)
+            path = [(float(x0), float(y0))]
+            while cur not in node_ids:
+                path.append((float(cur[1]), float(cur[0])))
+                nbrs = [p for p in neighbours(*cur) if p != prev]
+                if not nbrs:
+                    break
+                prev, cur = cur, nbrs[0]
+            if cur in node_ids:
+                path.append((float(cur[1]), float(cur[0])))
+                n1 = node_ids[cur]
+                key = (min(n0, n1), max(n0, n1),
+                       tuple(path[1]) if len(path) > 1 else ())
+                if key in visited_edges:
+                    continue
+                visited_edges.add(key)
+                edges.append((n0, n1, np.asarray(path), width_at(path)))
+    return SkeletonGraph(nodes, edges)
+
+
+class FastSkeleton:
+    """mask -> SkeletonGraph, device thinning + chamfer EDT widths."""
+
+    def __call__(self, mask):
+        import jax.numpy as jnp
+        from origami_tpu.ops.morphology import skeletonize, label_edt
+        ink = np.asarray(mask) > 0
+        sk = np.asarray(skeletonize(jnp.asarray(ink)))
+        # stroke half-width = distance from background at each ink pixel
+        d_bg = np.asarray(label_edt(jnp.asarray(
+            (~ink).astype(np.float32))))
+        return trace_skeleton(sk, dist=d_bg)
