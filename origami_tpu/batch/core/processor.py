@@ -1,0 +1,430 @@
+"""Batch runtime: corpus traversal, work queue, workers, watchdog.
+
+The scheduler of the framework, with the reference's operational
+semantics (origami/batch/core/processor.py): walk a corpus directory,
+queue pages whose declared inputs exist and outputs don't, process them
+under chunked cross-process locks, capture failures into runtime.json and
+keep going, watchdog-kill stalled worker pools, support re-run diffing.
+
+TPU-first difference: host geometry stages parallelize with a process
+pool as before, but NN stages (segment/ocr) subclass `BatchedProcessor`,
+which groups ready pages into device batches so one jit-compiled graph
+handles many pages per dispatch instead of per-page model calls — the
+pool's data parallelism moves onto the device batch axis (and across
+hosts via origami_tpu.parallel.multihost shard assignment).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import multiprocessing
+import os
+import re
+import sys
+import threading
+import time
+import traceback
+from pathlib import Path
+
+import click
+
+from origami_tpu.batch.core import mutex as _mutex
+from origami_tpu.batch.core.io import (
+    AtomicFileWriter, TrackChangeWriter, DebuggingFileWriter,
+    Artifact, find_data_path)
+from origami_tpu.core.page import is_image
+from origami_tpu.core.utils import elapsed_timer
+
+
+class Watchdog(threading.Thread):
+    """Terminates a stalled pool after `timeout` seconds of no completed
+    pages; a second strike hard-exits the process."""
+
+    def __init__(self, pool, timeout, heartbeat):
+        super().__init__(daemon=True)
+        self._pool = pool
+        self._timeout = timeout
+        self._heartbeat = heartbeat
+        self._done = threading.Event()
+        self._cancelled = False
+        self._strikes = 0
+
+    def run(self):
+        while not self._done.wait(min(self._timeout / 4, 15)):
+            if time.time() - self._heartbeat.value > self._timeout:
+                self._strikes += 1
+                if self._strikes == 1:
+                    logging.error("watchdog: no progress in %ds, "
+                                  "terminating pool", self._timeout)
+                    self._cancelled = True
+                    self._pool.terminate()
+                else:
+                    logging.error("watchdog: second strike, exiting")
+                    os._exit(1)
+
+    def set_done(self):
+        self._done.set()
+
+    @property
+    def cancelled(self):
+        return self._cancelled
+
+
+def _chunks(items, n):
+    for i in range(0, len(items), n):
+        yield items[i:i + n]
+
+
+# worker globals (re-initialized after fork)
+_worker_self = None
+_worker_heartbeat = None
+
+
+def _worker_run_chunk(chunk):
+    results = []
+    for i, path in _worker_self._run_chunk(chunk):
+        results.append((i, path))
+        if _worker_heartbeat is not None:
+            _worker_heartbeat.value = time.time()
+    return results
+
+
+def _worker_init(proc, heartbeat):
+    global _worker_self, _worker_heartbeat
+    _worker_self = proc
+    _worker_heartbeat = heartbeat
+
+
+class Processor:
+    LOCK_CHUNK_SIZE = 25
+
+    def __init__(self, options=None):
+        options = options or {}
+        self._options = dict(options)
+        self._overwrite = options.get("overwrite", False)
+        self._processes = options.get("processes", 1)
+        self._timeout = options.get("alive", 600)
+        self._name_filter = options.get("name", "")
+        self._lock_strategy = options.get("lock_strategy", "DB")
+        self._lock_level = options.get("lock_level", "PAGE")
+        self._lock_timeout = options.get("lock_timeout", 60)
+        self._max_lock_age = options.get("max_lock_age", 600)
+        self._lock_database = options.get("lock_database")
+        self._plain = options.get("plain", False)
+        self._debug_write = options.get("debug_write", False)
+        self._track_changes = options.get("track_changes", "")
+        self._profile = options.get("profile", False)
+        if self._profile:
+            self._overwrite = True
+        self._mutex = None
+        self._verbose = False
+
+    # -- CLI ---------------------------------------------------------------
+    @staticmethod
+    def options(f):
+        opts = [
+            click.option("--processes", type=int, default=1,
+                         help="Number of parallel worker processes."),
+            click.option("--alive", type=int, default=600,
+                         help="Watchdog timeout in seconds."),
+            click.option("--name", type=str, default="",
+                         help="Only process paths matching this regex."),
+            click.option("--lock-strategy",
+                         type=click.Choice(["FILE", "DB", "NONE"],
+                                           case_sensitive=False),
+                         default="DB"),
+            click.option("--lock-level",
+                         type=click.Choice(["PAGE", "TASK"],
+                                           case_sensitive=False),
+                         default="PAGE"),
+            click.option("--lock-database", type=click.Path(),
+                         required=False),
+            click.option("--lock-timeout", type=int, default=60),
+            click.option("--max-lock-age", type=int, default=600),
+            click.option("--overwrite", is_flag=True, default=False,
+                         help="Recompute and overwrite existing artifacts."),
+            click.option("--profile", is_flag=True, default=False,
+                         help="Profile processing (device + host traces)."),
+            click.option("--plain", is_flag=True, default=False,
+                         help="Pipe-friendly plain output."),
+            click.option("--debug-write", is_flag=True, default=False),
+            click.option("--track-changes", type=str, default="",
+                         help="Recompute artifacts, marking changed ones."),
+        ]
+        for o in opts:
+            f = o(f)
+        return f
+
+    @property
+    def processor_name(self):
+        return self.__class__.__name__
+
+    # -- stage contract ----------------------------------------------------
+    def artifacts(self):
+        """Override: [(kwarg_name, Input(...)/Output(...)), ...]."""
+        return []
+
+    def process(self, page_path, **kwargs):
+        raise NotImplementedError
+
+    def should_process(self, page_path):
+        return True
+
+    # -- queue construction ------------------------------------------------
+    def _file_writer(self):
+        if self._track_changes:
+            return TrackChangeWriter(self._track_changes)
+        w = AtomicFileWriter(overwrite=self._overwrite)
+        if self._debug_write:
+            w = DebuggingFileWriter(w)
+        return w
+
+    def prepare_process(self, page_path):
+        kwargs = {}
+        writer = self._file_writer()
+        for arg, spec in self.artifacts():
+            f = spec.instantiate(page_path=page_path, processor=self,
+                                 file_writer=writer)
+            f.fix_inconsistent()
+            if not f.is_ready():
+                return False
+            kwargs[arg] = f
+        return kwargs
+
+    def _build_queue(self, path):
+        path = Path(path)
+        if not path.exists():
+            raise FileNotFoundError(path)
+        queued = []
+
+        def add(p):
+            if not p.exists():
+                return
+            if self._name_filter and not re.search(self._name_filter, str(p)):
+                return
+            if not is_image(p):
+                return
+            if not self.should_process(p):
+                return
+            kwargs = self.prepare_process(p)
+            if kwargs is not False:
+                queued.append((len(queued), p, kwargs))
+
+        if path.is_dir():
+            for folder, dirs, files in os.walk(path):
+                folder = Path(folder)
+                if folder.name.endswith(".out"):
+                    dirs.clear()
+                    continue
+                dirs.sort()
+                for fn in sorted(files):
+                    add(folder / fn)
+        elif path.suffix == ".txt":
+            for line in path.read_text().splitlines():
+                line = line.strip()
+                if line:
+                    add(Path(line))
+        else:
+            add(path)
+        return queued
+
+    # -- execution ---------------------------------------------------------
+    def lock_or_open(self, path, mode):
+        if self._lock_strategy == "FILE":
+            import portalocker
+            return portalocker.Lock(path, mode, flags=portalocker.LOCK_EX,
+                                    timeout=1, fail_when_locked=True)
+        return open(path, mode)
+
+    def _run_page(self, page_path, kwargs, locked):
+        if not locked:
+            logging.warning("no lock for %s; skipping", page_path)
+            return
+        # a concurrent worker may have completed this page meanwhile
+        for f in kwargs.values():
+            if not f.is_ready():
+                return
+        try:
+            with elapsed_timer() as elapsed:
+                data_path = find_data_path(page_path)
+                data_path.mkdir(exist_ok=True)
+                info = self.process(page_path, **kwargs) or {}
+            info["status"] = "COMPLETED"
+            info["elapsed"] = round(elapsed(), 2)
+            self._update_runtime_info(page_path, {self.processor_name: info})
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            logging.exception("failed to process %s", page_path)
+            self._update_runtime_info(page_path, {self.processor_name: dict(
+                status="FAILED", traceback=traceback.format_exc())})
+        finally:
+            kwargs.clear()
+
+    def _run_chunk(self, chunk):
+        actor = "page" if self._lock_level == "PAGE" else self.processor_name
+        with self._mutex.lock(actor,
+                              [str(p) for _, p, _ in chunk]) as locked:
+            for i, p, kwargs in chunk:
+                self._run_page(p, kwargs, locked)
+                yield i, p
+
+    def _make_mutex(self, path):
+        if self._lock_strategy == "DB":
+            if self._lock_database:
+                db = Path(self._lock_database)
+            elif Path(path).is_dir():
+                db = Path(path) / "origami.lock.db"
+            else:
+                db = Path(path).parent / "origami.lock.db"
+            m = _mutex.DatabaseMutex(db, timeout=self._lock_timeout)
+            m.clear_locks(self._max_lock_age)
+            return m
+        return _mutex.make_mutex(self._lock_strategy)
+
+    def traverse(self, path):
+        if not self._plain:
+            print("running %s." % self.processor_name, flush=True)
+        queued = self._build_queue(path)
+        self._mutex = self._make_mutex(path)
+        try:
+            self._process_queue(queued)
+        finally:
+            self._mutex = None
+
+    def _process_queue(self, queued):
+        n = len(queued)
+        if n == 0:
+            if not self._plain:
+                print("nothing to process.")
+            return
+        done = 0
+        t0 = time.time()
+
+        def progress(i, p):
+            nonlocal done
+            done += 1
+            if self._plain:
+                print("[%d/%d] %s" % (done, n, p), flush=True)
+            elif done == n or done % 10 == 0:
+                rate = done / max(time.time() - t0, 1e-6)
+                print("\r[%d/%d] %.2f pages/s" % (done, n, rate),
+                      end="" if done < n else "\n", flush=True)
+
+        if self._processes > 1:
+            heartbeat = multiprocessing.Value("d", time.time())
+            with multiprocessing.Pool(
+                    self._processes, maxtasksperchild=4,
+                    initializer=_worker_init,
+                    initargs=(self, heartbeat)) as pool:
+                watchdog = Watchdog(pool, self._timeout, heartbeat)
+                watchdog.start()
+                for results in pool.imap_unordered(
+                        _worker_run_chunk,
+                        _chunks(queued, self.LOCK_CHUNK_SIZE)):
+                    heartbeat.value = time.time()
+                    for i, p in results:
+                        progress(i, p)
+                watchdog.set_done()
+                if watchdog.cancelled:
+                    sys.exit(1)
+        else:
+            for chunk in _chunks(queued, self.LOCK_CHUNK_SIZE):
+                for i, p in self._run_chunk(chunk):
+                    progress(i, p)
+
+    # -- runtime.json ------------------------------------------------------
+    def _update_runtime_info(self, page_path, updates):
+        try:
+            data_path = find_data_path(page_path)
+            data_path.mkdir(exist_ok=True)
+            json_path = data_path / Artifact.RUNTIME.filename()
+            data = {}
+            if json_path.exists():
+                try:
+                    data = json.loads(json_path.read_text())
+                except json.JSONDecodeError:
+                    data = {}
+            for k, v in updates.items():
+                if v is None:
+                    data.pop(k, None)
+                else:
+                    data[k] = v
+            tmp = json_path.parent / (json_path.stem + ".updated.json")
+            tmp.write_text(json.dumps(data))
+            os.replace(tmp, json_path)
+        except Exception:
+            logging.error(traceback.format_exc())
+
+
+class BatchedProcessor(Processor):
+    """Device-batched stage: collects ready pages and processes them in
+    groups of `batch_size` through one jit graph.
+
+    Locking happens per batch; failures are captured per page. Subclasses
+    implement `process_batch(pages_kwargs)` where pages_kwargs is a list
+    of (page_path, kwargs)."""
+
+    def __init__(self, options=None, batch_size=8):
+        super().__init__(options)
+        self._batch_size = batch_size
+
+    def process_batch(self, pages):
+        """Override: pages = [(path, kwargs)]. Return {path: info} or
+        raise (whole batch recorded FAILED)."""
+        raise NotImplementedError
+
+    def process(self, page_path, **kwargs):
+        # fallback: batch of one
+        self.process_batch([(page_path, kwargs)])
+
+    def _process_queue(self, queued):
+        # device batching is single-host-process; the page-batch axis and
+        # the mesh provide the parallelism
+        n = len(queued)
+        if n == 0:
+            if not self._plain:
+                print("nothing to process.")
+            return
+        done = 0
+        t0 = time.time()
+        actor = "page" if self._lock_level == "PAGE" else self.processor_name
+        for chunk in _chunks(queued, self._batch_size):
+            with self._mutex.lock(actor,
+                                  [str(p) for _, p, _ in chunk]) as locked:
+                if not locked:
+                    continue
+                ready = [(p, kw) for _, p, kw in chunk
+                         if all(f.is_ready() for f in kw.values())]
+                if not ready:
+                    continue
+                for p, _kw in ready:
+                    find_data_path(p).mkdir(exist_ok=True)
+                try:
+                    with elapsed_timer() as elapsed:
+                        infos = self.process_batch(ready) or {}
+                    per_page = round(elapsed() / max(len(ready), 1), 2)
+                    for p, _kw in ready:
+                        info = dict(infos.get(p, {}))
+                        info.setdefault("status", "COMPLETED")
+                        info["elapsed"] = per_page
+                        self._update_runtime_info(
+                            p, {self.processor_name: info})
+                except KeyboardInterrupt:
+                    raise
+                except Exception:
+                    logging.exception("batch failed")
+                    for p, _kw in ready:
+                        self._update_runtime_info(
+                            p, {self.processor_name: dict(
+                                status="FAILED",
+                                traceback=traceback.format_exc())})
+            done += len(chunk)
+            if self._plain:
+                for _, p, _kw in chunk:
+                    print("[%d/%d] %s" % (done, n, p), flush=True)
+            else:
+                rate = done / max(time.time() - t0, 1e-6)
+                print("\r[%d/%d] %.2f pages/s" % (done, n, rate),
+                      end="" if done < n else "\n", flush=True)
