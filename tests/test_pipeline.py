@@ -68,6 +68,70 @@ def test_contours_stage(corpus):
     assert widths  # width metadata present
 
 
+def _run_contours(corpus):
+    from origami_tpu.batch.detect.contours import ContoursProcessor
+    ContoursProcessor(dict(lock_strategy="NONE", plain=True)) \
+        .traverse(corpus)
+
+
+def _run_flow(corpus):
+    from origami_tpu.batch.detect.flow import FlowDetectionProcessor
+    FlowDetectionProcessor(dict(lock_strategy="NONE", plain=True)) \
+        .traverse(corpus)
+
+
+def test_flow_stage(corpus):
+    _run_segment(corpus)
+    _run_contours(corpus)
+    _run_flow(corpus)
+    out = corpus / "page0001.out"
+    assert (out / "flow.zip").exists()
+    assert (out / "lines.0.zip").exists()
+    import zipfile as _zf
+    from origami_tpu.core.flow import Samples
+    with _zf.ZipFile(out / "flow.zip") as zf:
+        sh = Samples.from_zip(zf, "h")
+        sv = Samples.from_zip(zf, "v")
+    assert len(sh) > 3          # baselines + H separator
+    assert len(sv) > 3          # V separator + orthogonals
+    # h angles near 0, v angles near pi/2
+    assert abs(np.median(sh.values)) < 0.15
+    assert abs(np.median(sv.values) - np.pi / 2) < 0.15
+    # warped lines were detected in both columns
+    with _zf.ZipFile(out / "lines.0.zip") as zf:
+        names = [n for n in zf.namelist() if n.endswith(".json")]
+    assert len(names) > 10
+
+
+def test_dewarp_stage(corpus):
+    _run_segment(corpus)
+    _run_contours(corpus)
+    _run_flow(corpus)
+    from origami_tpu.batch.detect.dewarp import DewarpProcessor
+    DewarpProcessor(dict(lock_strategy="NONE", plain=True)) \
+        .traverse(corpus)
+    out = corpus / "page0001.out"
+    assert (out / "dewarp.zip").exists()
+    assert (out / "contours.1.zip").exists()
+    from origami_tpu.core.dewarp import Grid
+    grid = Grid.open(out / "dewarp.zip")
+    pts = grid.points("sample")
+    assert pts.ndim == 3 and pts.shape[2] == 2
+    # the synthetic page is unwarped: grid stays nearly regular
+    assert grid.warping < 3.0
+    # dewarped contours parse and cover similar area
+    from origami_tpu.batch.core.io import read_contours_zip
+    from origami_tpu.core.segment import PredictorType
+    items0, _ = read_contours_zip(out / "contours.0.zip",
+                                  PredictorType.REGION)
+    items1, _ = read_contours_zip(out / "contours.1.zip",
+                                  PredictorType.REGION)
+    assert len(items1) == len(items0)
+    a0 = sum(g.area for _, g in items0)
+    a1 = sum(g.area for _, g in items1)
+    assert abs(a1 - a0) / a0 < 0.25
+
+
 def test_skip_existing_and_overwrite(corpus):
     _run_segment(corpus)
     out = corpus / "page0001.out" / "segment.zip"
