@@ -1,0 +1,216 @@
+"""detect.compose — assemble final outputs (CLI stage 9).
+
+Reference contract: origami/batch/detect/compose.py (ocr + order +
+contours.3 + tables -> compose.zip containing page.txt and optionally
+page.xml). Plain text follows the "*" reading order with paragraph
+separation and optional region/letter filters; Page-XML nests table
+regions from their division blocks and re-warps all coordinates back to
+the original (warped) image space through the dewarp grid.
+"""
+
+from __future__ import annotations
+
+import collections
+import re
+from pathlib import Path
+
+import click
+import numpy as np
+
+from origami_tpu import geometry as G
+from origami_tpu.batch.core.processor import Processor
+from origami_tpu.batch.core.io import Artifact, Input, Output, Stage
+from origami_tpu.batch.core.utils import RegionsFilter, TableRegionCombinator
+
+
+def _rewarp(grid, geom):
+    """Map dewarped-space geometry back into warped image space."""
+    if grid is None:
+        return geom
+    def f(x, y):
+        pts = grid.inverse_points(np.c_[x, y])
+        return pts[:, 0], pts[:, 1]
+    return G.transform(f, geom)
+
+
+def _line_sort_key(parts):
+    out = []
+    for p in parts:
+        segs = str(p).split(".")
+        if all(s.lstrip("-").isdigit() for s in segs):
+            out.append((0, tuple(int(s) for s in segs), ""))
+        else:
+            out.append((1, (), str(p)))
+    return out
+
+
+class ComposeProcessor(Processor):
+    def __init__(self, options):
+        super().__init__(options)
+        self._opt = options
+        self._page_xml = options.get("page_xml", False)
+        self._regions_filter = None
+        spec = options.get("regions", "")
+        if spec.strip():
+            self._regions_filter = RegionsFilter(spec)
+        letters = options.get("only_letters", "")
+        self._letter_re = re.compile("[^%s]" % re.escape(letters)) \
+            if letters.strip() else None
+        self._paragraph = options.get("paragraph", "\n\n")
+
+    @property
+    def processor_name(self):
+        return "origami_tpu.batch.detect.compose"
+
+    def artifacts(self):
+        return [
+            ("input", Input(Artifact.OCR, Artifact.ORDER, Artifact.TABLES,
+                            Artifact.CONTOURS, Artifact.LINES,
+                            stage=Stage.RELIABLE)),
+            ("output", Output(Artifact.COMPOSE)),
+        ]
+
+    # -- text assembly -----------------------------------------------------
+    def _clean(self, text):
+        if self._letter_re is not None:
+            text = self._letter_re.sub("", text)
+        return text
+
+    def _region_texts(self, input):
+        """{region_path(3): [(line_path, text)] in line order}."""
+        texts = collections.defaultdict(list)
+        for parts, text in input.sorted_ocr:
+            texts[tuple(parts[:3])].append((tuple(parts), text))
+        for k in texts:
+            texts[k].sort(key=lambda kv: _line_sort_key(kv[0][3:]))
+        return texts
+
+    def _compose_text(self, input):
+        orders = input.order["orders"]
+        order = orders.get("*", [])
+        region_texts = self._region_texts(input)
+        combinator = TableRegionCombinator(list(region_texts.keys()))
+
+        out = []
+        seen = set()
+        for name in order:
+            path = tuple(name.split("/"))
+            if self._regions_filter is not None \
+                    and not self._regions_filter(path):
+                continue
+            if len(path) > 3:
+                # line-level entry from region splitting
+                block = tuple(path[:3])
+                for lp, text in region_texts.get(block, []):
+                    if lp == path and lp not in seen:
+                        seen.add(lp)
+                        out.append(self._clean(text))
+                continue
+            members = combinator.mapping.get(path, [path])
+            lines = []
+            for m in members:
+                for lp, text in region_texts.get(tuple(m), []):
+                    if lp in seen:
+                        continue
+                    seen.add(lp)
+                    lines.append(self._clean(text))
+            if lines:
+                out.append("\n".join(lines))
+        return self._paragraph.join(x for x in out if x.strip())
+
+    # -- page xml ----------------------------------------------------------
+    def _compose_xml(self, page_path, input):
+        from origami_tpu.pagexml.pagexml import Page as XmlPage
+        try:
+            grid = input.grid \
+                if input.path(Artifact.DEWARPING_TRANSFORM).exists() \
+                else None
+        except KeyError:
+            grid = None
+        page = input.page
+        size = page.size(False)
+        doc = XmlPage(Path(page_path).name, size)
+
+        region_texts = self._region_texts(input)
+        regions = input.regions.by_path
+        lines = input.lines.by_path
+        combinator = TableRegionCombinator(list(regions.keys()))
+
+        orders = input.order["orders"]
+        order = [tuple(n.split("/")) for n in orders.get("*", [])]
+        # region-level entries only, combined table paths
+        ordered_regions = []
+        for path in order:
+            base = combinator.combined_path(path[:3])
+            if base not in ordered_regions:
+                ordered_regions.append(base)
+
+        region_ids = []
+        for base in ordered_regions:
+            label = base[1]
+            members = combinator.mapping.get(base, [base])
+            shapes = [regions[m].image_space_polygon
+                      for m in members if m in regions]
+            if not shapes:
+                continue
+            shape = G.unary_union(shapes)
+            if shape.geom_type != "Polygon":
+                shape = shape.convex_hull
+            shape = _rewarp(grid, shape)
+            rid = "r_%s" % "_".join(map(str, base)).replace("/", "_")
+            kind = "TableRegion" if label == "TABULAR" else (
+                "GraphicRegion" if label == "ILLUSTRATION"
+                else "TextRegion")
+            reg = doc.append_region(kind, rid, region_type="paragraph")
+            reg.append_coords(shape._all_coords()
+                              if shape.geom_type != "Polygon"
+                              else shape.np_shell)
+            region_ids.append(rid)
+
+            # lines of all member blocks, in member order
+            text_accum = []
+            for m in members:
+                for lp, text in region_texts.get(tuple(m), []):
+                    line = lines.get(lp)
+                    if kind == "TextRegion":
+                        tl = reg.append_text_line(
+                            "l_%s" % "_".join(map(str, lp)))
+                        if line is not None:
+                            poly = _rewarp(grid, line.image_space_polygon)
+                            tl.append_coords(poly._all_coords())
+                            bl = _rewarp(grid, G.LineString(line.baseline))
+                            tl.append_baseline(bl.np_coords)
+                        tl.append_text_equiv(self._clean(text))
+                    text_accum.append(self._clean(text))
+            reg.append_text_equiv("\n".join(text_accum))
+
+        doc.append_reading_order(region_ids)
+        return doc
+
+    def process(self, page_path, input, output):
+        text = self._compose_text(input)
+        with output.compose() as zf:
+            zf.writestr("page.txt", text)
+            if self._page_xml:
+                doc = self._compose_xml(page_path, input)
+                zf.writestr("page.xml", doc.tostring())
+        return dict(n_chars=len(text))
+
+
+@click.command()
+@click.argument("data_path", type=click.Path(exists=True), required=True)
+@click.option("--page-xml", is_flag=True, default=False,
+              help="also write PAGE XML output")
+@click.option("--regions", type=str, default="",
+              help="only compose text of these region types")
+@click.option("--only-letters", type=str, default="",
+              help="restrict output to the given characters")
+@click.option("--paragraph", type=str, default="\n\n")
+@Processor.options
+def compose(data_path, **kwargs):
+    """Compose final text / PAGE XML for documents in DATA_PATH."""
+    ComposeProcessor(kwargs).traverse(data_path)
+
+
+if __name__ == "__main__":
+    compose()

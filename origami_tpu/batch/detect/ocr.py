@@ -1,0 +1,195 @@
+"""detect.ocr — batched line text recognition (CLI stage 8).
+
+Reference contract: origami/batch/detect/ocr.py (image + lines.3 +
+tables -> ocr.zip, one .txt per line path; FAKE and DRY modes built in).
+The Calamari TF stack is replaced by the native CNN+BiLSTM+CTC recognizer
+(origami_tpu.models.recognizer): line strips are extracted in one device
+gather, width-bucketed so each bucket shape compiles once, and decoded
+greedily on device; multi-model voting sums per-frame distributions and
+beam-decodes on host.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import click
+import numpy as np
+
+from origami_tpu.batch.core.processor import Processor
+from origami_tpu.batch.core.io import Artifact, Input, Output, Stage
+from origami_tpu.batch.core.lines import LineExtractor
+from origami_tpu.batch.core.utils import RegionsFilter
+
+
+class FakePredictor:
+    line_height = 48
+
+    def predict(self, strips):
+        return ["text for %s." % "/".join(map(str, path))
+                for path, _ in strips], [1.0] * len(strips)
+
+
+class RecognizerPredictor:
+    """One or more stacked recognizer models with greedy / voted decode."""
+
+    def __init__(self, model_paths, batch_size=32):
+        import jax
+        import jax.numpy as jnp
+        from origami_tpu.models import registry, ctc
+        from origami_tpu.models.recognizer import width_buckets
+
+        models = [registry.load_model(p) for p in model_paths]
+        self._module = models[0][0]
+        metas = [m[2] for m in models]
+        self._charset = metas[0]["charset"]
+        self.line_height = metas[0].get("height", 48)
+        self._batch_size = batch_size
+        self._voting = len(models) > 1
+        if self._voting:
+            self._params = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[m[1] for m in models])
+        else:
+            self._params = models[0][1]
+        self._ctc = ctc
+        self._width_buckets = width_buckets
+
+        module = self._module
+
+        def infer(params, x, widths):
+            logits, pad = module.apply({"params": params}, x, widths=widths)
+            return logits, pad
+
+        def infer_voted(params_stack, x, widths):
+            def one(params):
+                logits, pad = module.apply({"params": params}, x,
+                                           widths=widths)
+                return jax.nn.log_softmax(logits, axis=-1), pad
+            logps, pads = jax.vmap(one)(params_stack)
+            return jnp.mean(logps, axis=0), pads[0]
+
+        self._infer = jax.jit(infer)
+        self._infer_voted = jax.jit(infer_voted)
+
+    def predict(self, strips):
+        """strips: [(path, uint8 (H, W))] -> (texts, confidences)."""
+        import jax.numpy as jnp
+        n = len(strips)
+        texts = [""] * n
+        confs = [0.0] * n
+        if n == 0:
+            return texts, confs
+        widths = [s.shape[1] for _, s in strips]
+        buckets = self._width_buckets(widths)
+        groups = {}
+        for i, b in enumerate(buckets):
+            groups.setdefault(b, []).append(i)
+        for bucket, idxs in groups.items():
+            for start in range(0, len(idxs), self._batch_size):
+                part = idxs[start: start + self._batch_size]
+                x = np.zeros((len(part), self.line_height, bucket, 1),
+                             np.float32)
+                w = np.zeros((len(part),), np.float32)
+                for j, i in enumerate(part):
+                    strip = strips[i][1].astype(np.float32) / 255.0
+                    sw = min(strip.shape[1], bucket)
+                    sh = min(strip.shape[0], self.line_height)
+                    x[j, :sh, :sw, 0] = 1.0 - strip[:sh, :sw]
+                    w[j] = sw
+                if self._voting:
+                    logits, pad = self._infer_voted(
+                        self._params, jnp.asarray(x), jnp.asarray(w))
+                else:
+                    logits, pad = self._infer(
+                        self._params, jnp.asarray(x), jnp.asarray(w))
+                ids, lengths, conf = self._ctc.greedy_decode(logits, pad)
+                ids = np.asarray(ids)
+                lengths = np.asarray(lengths)
+                conf = np.asarray(conf)
+                for j, i in enumerate(part):
+                    texts[i] = self._ctc.ids_to_text(
+                        ids[j], lengths[j], self._charset)
+                    confs[i] = float(conf[j])
+        return texts, confs
+
+
+class OCRProcessor(Processor):
+    def __init__(self, options):
+        super().__init__(options)
+        self._opt = options
+        self._model_spec = str(options.get("model", "FAKE"))
+        self._predictor = None
+        self._ignored = RegionsFilter(options.get(
+            "ignored", "regions/ILLUSTRATION"))
+
+    @property
+    def processor_name(self):
+        return "origami_tpu.batch.detect.ocr"
+
+    def artifacts(self):
+        return [
+            ("reliable", Input(Artifact.LINES, Artifact.TABLES,
+                               stage=Stage.RELIABLE)),
+            ("output", Output(Artifact.OCR)),
+        ]
+
+    def _get_predictor(self):
+        if self._predictor is None:
+            spec = self._model_spec
+            if spec.upper() in ("FAKE", "DRY"):
+                self._predictor = FakePredictor()
+            else:
+                path = Path(spec)
+                if (path / "meta.json").exists():
+                    members = [path]
+                else:
+                    members = sorted(
+                        d for d in path.iterdir()
+                        if (d / "meta.json").exists())
+                if not members:
+                    raise FileNotFoundError(
+                        "no recognizer models at %s" % path)
+                self._predictor = RecognizerPredictor(
+                    members,
+                    batch_size=self._opt.get("batch_size", 32))
+        return self._predictor
+
+    def process(self, page_path, reliable, output):
+        predictor = self._get_predictor()
+        dry = self._model_spec.upper() == "DRY"
+
+        extractor = LineExtractor(
+            reliable.tables, predictor.line_height, self._opt,
+            min_confidence=reliable.lines.min_confidence)
+        strips = extractor(reliable.lines.by_path, ignored=self._ignored)
+
+        if dry:
+            for path, _ in strips:
+                logging.info("would OCR %s", "/".join(map(str, path)))
+            return dict(n_lines=len(strips), dry=True)
+
+        texts, confs = predictor.predict(strips)
+
+        with output.ocr() as zf:
+            for (path, _), text in zip(strips, texts):
+                zf.writestr("/".join(map(str, path)) + ".txt", text)
+        return dict(n_lines=len(strips))
+
+
+@click.command()
+@click.option("-m", "--model", type=str, default="FAKE",
+              help="recognizer model dir (or ensemble parent dir), "
+                   "FAKE, or DRY")
+@click.option("-b", "--batch-size", type=int, default=32)
+@click.option("--ignored", type=str, default="regions/ILLUSTRATION")
+@click.argument("data_path", type=click.Path(exists=True), required=True)
+@Processor.options
+@LineExtractor.options
+def run_ocr(data_path, **kwargs):
+    """Run OCR on all documents in DATA_PATH."""
+    OCRProcessor(kwargs).traverse(data_path)
+
+
+if __name__ == "__main__":
+    run_ocr()

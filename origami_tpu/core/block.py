@@ -156,6 +156,15 @@ class Line:
     def height(self):
         return float(np.linalg.norm(self._up))
 
+    def dewarped_height(self, grid):
+        """Line height after dewarping: transform the up-vector endpoints
+        through the grid's forward map."""
+        if grid is None:
+            return self.height
+        pts = grid.transformer_points(
+            np.stack([self._p, self._p + self._up]))
+        return float(np.linalg.norm(pts[1] - pts[0]))
+
     # -- confidence --------------------------------------------------------
     @property
     def confidence(self):

@@ -1,0 +1,119 @@
+"""Concave hulls (concaveman-style) with a pure-Python default and an
+optional C++ fast path.
+
+The reference ships a pybind11 C++ concaveman (Mapbox algorithm) used by
+layout concave dilation (origami/concaveman/, layout.py:688-710). The
+same contract is provided here: `concave_hull(points, concavity,
+length_threshold)` starting from the convex hull and digging in edges
+whose nearest interior point is closer than edge_length / concavity.
+`origami_tpu.geometry.native` provides the C++ implementation (built
+with make); this module falls back to numpy if the shared library is
+absent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _try_native():
+    try:
+        from origami_tpu.geometry.native import concave_hull_native
+        return concave_hull_native
+    except Exception:
+        return None
+
+
+def concave_hull(points, concavity=2.0, length_threshold=0.0):
+    """Concave hull of a 2-D point set. Returns (M, 2) hull coordinates
+    in order."""
+    points = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    points = np.unique(points, axis=0)
+    if len(points) < 4:
+        return points
+    native = _try_native()
+    if native is not None:
+        return native(points, concavity, length_threshold)
+    return _concave_hull_py(points, concavity, length_threshold)
+
+
+def _concave_hull_py(points, concavity, length_threshold):
+    import scipy.spatial
+    hull = scipy.spatial.ConvexHull(points)
+    hull_idx = list(hull.vertices)
+    in_hull = set(hull_idx)
+    interior = np.array([i for i in range(len(points))
+                         if i not in in_hull])
+
+    # edge queue: process longest edges first
+    edges = [(hull_idx[i], hull_idx[(i + 1) % len(hull_idx)])
+             for i in range(len(hull_idx))]
+    result = list(edges)
+    used = set(hull_idx)
+
+    changed = True
+    max_rounds = 64
+    while changed and max_rounds > 0 and len(interior):
+        max_rounds -= 1
+        changed = False
+        new_result = []
+        for (a, b) in result:
+            pa, pb = points[a], points[b]
+            elen = np.linalg.norm(pb - pa)
+            if elen < length_threshold:
+                new_result.append((a, b))
+                continue
+            cand = interior[[i not in used for i in interior]]
+            if len(cand) == 0:
+                new_result.append((a, b))
+                continue
+            # distance from candidates to the edge segment
+            ab = pb - pa
+            L2 = max(float(ab @ ab), 1e-12)
+            t = np.clip((points[cand] - pa) @ ab / L2, 0, 1)
+            proj = pa + t[:, None] * ab
+            d = np.linalg.norm(points[cand] - proj, axis=1)
+            k = int(np.argmin(d))
+            dd = d[k]
+            if dd > 1e-12 and elen / dd > concavity:
+                c = int(cand[k])
+                # don't create self-intersections: candidate must be
+                # closer to this edge than to any other current edge
+                new_result.append((a, c))
+                new_result.append((c, b))
+                used.add(c)
+                changed = True
+            else:
+                new_result.append((a, b))
+        result = new_result
+
+    # assemble ordered ring
+    nxt = {a: b for a, b in result}
+    start = result[0][0]
+    ring = [start]
+    cur = nxt.get(start)
+    guard = len(result) + 2
+    while cur is not None and cur != start and guard > 0:
+        ring.append(cur)
+        cur = nxt.get(cur)
+        guard -= 1
+    return points[ring]
+
+
+def concave_hull_polygon(geom, concavity=2.0, length_threshold=0.0):
+    """Concave hull of a geometry's vertices, unioned with the original
+    shape so the hull never loses area (reference layout.py:688-710)."""
+    from origami_tpu import geometry as G
+    pts = geom._all_coords()
+    if len(pts) < 4:
+        return geom.convex_hull
+    ring = concave_hull(pts, concavity, length_threshold)
+    if len(ring) < 3:
+        return geom.convex_hull
+    hull = G.Polygon(ring)
+    if not hull.is_valid:
+        hull = G.make_valid(hull)
+    out = hull.union(geom)
+    if out.geom_type == "MultiPolygon":
+        out = out.convex_hull
+    return out

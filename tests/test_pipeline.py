@@ -132,6 +132,125 @@ def test_dewarp_stage(corpus):
     assert abs(a1 - a0) / a0 < 0.25
 
 
+def _run_chain(corpus, upto="compose"):
+    _run_segment(corpus)
+    _run_contours(corpus)
+    _run_flow(corpus)
+    from origami_tpu.batch.detect.dewarp import DewarpProcessor
+    DewarpProcessor(dict(lock_strategy="NONE", plain=True)) \
+        .traverse(corpus)
+    if upto == "dewarp":
+        return
+    from origami_tpu.batch.detect.layout import LayoutDetectionProcessor
+    LayoutDetectionProcessor(dict(lock_strategy="NONE", plain=True,
+                                  layout="bbz")).traverse(corpus)
+    if upto == "layout":
+        return
+    from origami_tpu.batch.detect.lines import LineDetectionProcessor
+    LineDetectionProcessor(dict(lock_strategy="NONE", plain=True)) \
+        .traverse(corpus)
+    if upto == "lines":
+        return
+    from origami_tpu.batch.detect.order import ReadingOrderProcessor
+    ReadingOrderProcessor(dict(lock_strategy="NONE", plain=True)) \
+        .traverse(corpus)
+    if upto == "order":
+        return
+    from origami_tpu.batch.detect.ocr import OCRProcessor
+    OCRProcessor(dict(lock_strategy="NONE", plain=True, model="FAKE")) \
+        .traverse(corpus)
+    if upto == "ocr":
+        return
+    from origami_tpu.batch.detect.compose import ComposeProcessor
+    ComposeProcessor(dict(lock_strategy="NONE", plain=True,
+                          page_xml=True)).traverse(corpus)
+
+
+def test_layout_stage(corpus):
+    _run_chain(corpus, upto="layout")
+    out = corpus / "page0001.out"
+    assert (out / "contours.2.zip").exists()
+    assert (out / "tables.json").exists()
+    tables = json.loads((out / "tables.json").read_text())
+    assert tables["version"] == 1
+    from origami_tpu.batch.core.io import read_contours_zip
+    from origami_tpu.core.segment import PredictorType
+    items, _ = read_contours_zip(out / "contours.2.zip",
+                                 PredictorType.REGION)
+    text = [g for parts, g in items if parts[1] == "TEXT"]
+    # the two columns must NOT merge across the V separator (whose
+    # dewarped-space x we read from contours.1)
+    sep_items, _ = read_contours_zip(out / "contours.1.zip",
+                                     PredictorType.SEPARATOR)
+    v_seps = [g for parts, g in sep_items if parts[1] == "V"]
+    assert v_seps
+    sep_x = float(np.mean(v_seps[0]._all_coords()[:, 0]))
+    assert len(text) >= 2
+    for g in text:
+        minx, _, maxx, _ = g.bounds
+        assert not (minx < sep_x - 10 and maxx > sep_x + 10), \
+            "region crosses the column separator: %s" % (g.bounds,)
+
+
+def test_lines_stage(corpus):
+    _run_chain(corpus, upto="lines")
+    out = corpus / "page0001.out"
+    assert (out / "contours.3.zip").exists()
+    assert (out / "lines.3.zip").exists()
+    import zipfile as _zf
+    with _zf.ZipFile(out / "lines.3.zip") as zf:
+        names = [n for n in zf.namelist() if n.endswith(".json")
+                 and n != "meta.json"]
+        assert len(names) > 10
+        rec = json.loads(zf.read(names[0]))
+        assert set(rec) >= {"p", "right", "up", "wkt", "confidence",
+                            "tesseract_data"}
+
+
+def test_order_stage(corpus):
+    _run_chain(corpus, upto="order")
+    out = corpus / "page0001.out"
+    order = json.loads((out / "order.json").read_text())
+    assert order["version"] == 1
+    assert "*" in order["orders"]
+    assert len(order["orders"]["*"]) >= 2
+    # left column regions come before right column regions
+    from origami_tpu.batch.core.io import read_contours_zip
+    from origami_tpu.core.segment import PredictorType
+    items, _ = read_contours_zip(out / "contours.3.zip",
+                                 PredictorType.REGION)
+    centers = {"/".join(p): (g.bounds[0] + g.bounds[2]) / 2
+               for p, g in items}
+    star = [centers[n] for n in order["orders"]["*"] if n in centers]
+    if len(star) >= 2:
+        # first ordered region is left of the last
+        assert star[0] < star[-1]
+
+
+def test_ocr_and_compose(corpus):
+    _run_chain(corpus, upto="compose")
+    out = corpus / "page0001.out"
+    assert (out / "ocr.zip").exists()
+    import zipfile as _zf
+    with _zf.ZipFile(out / "ocr.zip") as zf:
+        texts = {n: zf.read(n).decode("utf8") for n in zf.namelist()}
+    assert len(texts) > 10
+    assert all(t.startswith("text for ") for t in texts.values())
+
+    with _zf.ZipFile(out / "compose.zip") as zf:
+        page_txt = zf.read("page.txt").decode("utf8")
+        page_xml = zf.read("page.xml")
+    assert "text for " in page_txt
+    assert page_txt.count("\n\n") >= 1     # paragraph separation
+    from lxml import etree
+    root = etree.fromstring(page_xml)
+    assert root.tag.endswith("PcGts")
+    text_regions = root.findall(".//{*}TextRegion")
+    assert len(text_regions) >= 2
+    ro = root.findall(".//{*}RegionRefIndexed")
+    assert len(ro) >= 2
+
+
 def test_skip_existing_and_overwrite(corpus):
     _run_segment(corpus)
     out = corpus / "page0001.out" / "segment.zip"
