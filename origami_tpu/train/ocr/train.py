@@ -1,0 +1,92 @@
+"""CTC line-recognizer training on a TPU mesh.
+
+Replaces external Calamari training (reference README.md:366-375):
+optax.ctc_loss over width-bucketed padded line batches, batch sharded
+over the mesh "data" axis; params replicated (the recognizer is small —
+DP is the right parallelism here).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from origami_tpu.models import recognizer as rec_lib
+from origami_tpu.models import ctc as ctc_lib
+from origami_tpu.parallel import mesh as mesh_lib
+
+
+@dataclass
+class OCRTrainConfig:
+    num_symbols: int = 96
+    height: int = 48
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-5
+    steps: int = 50_000
+    warmup: int = 1000
+
+
+class RecognizerTrainer:
+    def __init__(self, cfg, mesh=None, seed=0):
+        self.cfg = cfg
+        self.mesh = mesh or mesh_lib.make_mesh()
+        self.model = rec_lib.create_recognizer(cfg.num_symbols)
+        params = rec_lib.init_recognizer(
+            self.model, jax.random.PRNGKey(seed), height=cfg.height)
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, cfg.warmup,
+            max(cfg.steps, cfg.warmup + 1))
+        self.optimizer = optax.adamw(sched,
+                                     weight_decay=cfg.weight_decay)
+        with self.mesh:
+            self.params = jax.device_put(
+                params, mesh_lib.replicated(self.mesh))
+            self.opt_state = self.optimizer.init(self.params)
+
+        model = self.model
+        optimizer = self.optimizer
+
+        def step(params, opt_state, images, widths, labels, label_pad):
+            def loss_fn(p):
+                logits, pad = model.apply({"params": p}, images,
+                                          widths=widths)
+                return ctc_lib.ctc_loss(logits, pad, labels, label_pad)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step = jax.jit(step, donate_argnums=(0, 1))
+
+    def train_step(self, images, widths, labels, label_pad):
+        with self.mesh:
+            batch = mesh_lib.shard_batch(
+                self.mesh, (jnp.asarray(images), jnp.asarray(widths),
+                            jnp.asarray(labels), jnp.asarray(label_pad)))
+            self.params, self.opt_state, loss = self._step(
+                self.params, self.opt_state, *batch)
+        return float(loss)
+
+    def save(self, path, charset):
+        from origami_tpu.models import registry
+        meta = dict(kind="recognizer", charset=charset,
+                    height=self.cfg.height, version=1)
+        registry.save_model(path, meta, self.params)
+
+
+def encode_labels(texts, charset, max_len=None):
+    """Map strings to padded CTC label arrays (blank=0, chars from 1)."""
+    index = {c: i + 1 for i, c in enumerate(charset)}
+    seqs = [[index[c] for c in t if c in index] for t in texts]
+    L = max_len or max((len(s) for s in seqs), default=1)
+    labels = np.zeros((len(seqs), L), np.int32)
+    pad = np.ones((len(seqs), L), np.float32)
+    for i, s in enumerate(seqs):
+        s = s[:L]
+        labels[i, : len(s)] = s
+        pad[i, : len(s)] = 0.0
+    return labels, pad
