@@ -36,24 +36,26 @@ def main():
         lambda x: jnp.stack([x] * n_models_per_net), params)
     layout = TileLayout((full_w, full_h), (tile_w, tile_h), beta0=50)
 
+    from origami_tpu.models.unet import ensemble_apply
+
     @jax.jit
     def segment(stack_a, stack_b, images):
+        # pages sequential (lax.map), models sequential (lax.scan inside
+        # ensemble_apply): one page's tile batch saturates the chip; the
+        # vmapped variants OOM HBM at full resolution
         def per_page(img):
             net_in = _resize(img, (full_h, full_w), "area") / 255.0
             tiles = layout.extract(net_in[..., None])
 
             def ensemble(stack):
-                def one(p):
-                    return jax.nn.softmax(
-                        model.apply({"params": p}, tiles), axis=-1)
-                probs = jnp.sum(jax.vmap(one)(stack), axis=0)
+                probs = ensemble_apply(model, stack, tiles)
                 return jnp.argmax(
                     layout.stitch_logits(probs, n_classes), axis=-1)
 
             return ensemble(stack_a).astype(jnp.uint8), \
                 ensemble(stack_b).astype(jnp.uint8)
 
-        return jax.vmap(per_page)(images)
+        return jax.lax.map(per_page, images)
 
     pages = jnp.asarray(
         np.random.default_rng(0).integers(

@@ -51,13 +51,22 @@ def _concave_hull_py(points, concavity, length_threshold):
     result = list(edges)
     used = set(hull_idx)
 
+    def seg_dists(p, segs_a, segs_b):
+        ab = segs_b - segs_a
+        L2 = np.maximum(np.sum(ab * ab, axis=1), 1e-12)
+        t = np.clip(np.sum((p - segs_a) * ab, axis=1) / L2, 0, 1)
+        proj = segs_a + t[:, None] * ab
+        return np.linalg.norm(p - proj, axis=1)
+
     changed = True
-    max_rounds = 64
+    max_rounds = 256
     while changed and max_rounds > 0 and len(interior):
         max_rounds -= 1
         changed = False
         new_result = []
-        for (a, b) in result:
+        edges_a = np.array([points[a] for a, _ in result])
+        edges_b = np.array([points[b] for _, b in result])
+        for ei, (a, b) in enumerate(result):
             pa, pb = points[a], points[b]
             elen = np.linalg.norm(pb - pa)
             if elen < length_threshold:
@@ -67,7 +76,7 @@ def _concave_hull_py(points, concavity, length_threshold):
             if len(cand) == 0:
                 new_result.append((a, b))
                 continue
-            # distance from candidates to the edge segment
+            # distance from candidates to this edge
             ab = pb - pa
             L2 = max(float(ab @ ab), 1e-12)
             t = np.clip((points[cand] - pa) @ ab / L2, 0, 1)
@@ -75,28 +84,26 @@ def _concave_hull_py(points, concavity, length_threshold):
             d = np.linalg.norm(points[cand] - proj, axis=1)
             k = int(np.argmin(d))
             dd = d[k]
-            if dd > 1e-12 and elen / dd > concavity:
+            # concaveman criteria: edge long relative to the candidate's
+            # distance AND the candidate is closer to this edge than to
+            # every other hull edge (prevents spiraling digs); dd ~ 0
+            # inserts collinear boundary points to refine the edge
+            if elen / max(dd, 1e-9) > concavity:
                 c = int(cand[k])
-                # don't create self-intersections: candidate must be
-                # closer to this edge than to any other current edge
-                new_result.append((a, c))
-                new_result.append((c, b))
-                used.add(c)
-                changed = True
-            else:
-                new_result.append((a, b))
+                others = seg_dists(points[c], edges_a, edges_b)
+                others[ei] = np.inf
+                if dd <= others.min() + 1e-9:
+                    new_result.append((a, c))
+                    new_result.append((c, b))
+                    used.add(c)
+                    changed = True
+                    continue
+            new_result.append((a, b))
         result = new_result
 
-    # assemble ordered ring
-    nxt = {a: b for a, b in result}
-    start = result[0][0]
-    ring = [start]
-    cur = nxt.get(start)
-    guard = len(result) + 2
-    while cur is not None and cur != start and guard > 0:
-        ring.append(cur)
-        cur = nxt.get(cur)
-        guard -= 1
+    # `result` stays in ring order through in-place edge splitting, so
+    # the hull is simply the sequence of edge start points
+    ring = [a for a, _ in result]
     return points[ring]
 
 

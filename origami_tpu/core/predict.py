@@ -47,21 +47,21 @@ class _EnsembleGraph:
                             beta0=meta.get("tile_beta", 50))
         n_classes = len(meta["classes"])
 
+        from origami_tpu.models.unet import ensemble_apply
+
         def run(images):
-            # images: (B, H, W) float32 raw grayscale [0..255]
+            # images: (B, H, W) float32 raw grayscale [0..255]; pages run
+            # sequentially (lax.map) — each page's tile batch already
+            # fills the chip, and vmapping pages would multiply peak
+            # activation memory by B
             def per_page(img):
                 net_in = _resize(img, (full_h, full_w), "area") / 255.0
                 tiles = layout.extract(net_in[..., None])   # (T, th, tw, 1)
-
-                def one_model(params):
-                    logits = model.apply({"params": params}, tiles)
-                    return jax.nn.softmax(logits, axis=-1)
-
-                probs = jnp.sum(jax.vmap(one_model)(params_stack), axis=0)
+                probs = ensemble_apply(model, params_stack, tiles)
                 stitched = layout.stitch_logits(probs, n_classes)
                 return jnp.argmax(stitched, axis=-1).astype(jnp.uint8)
 
-            return jax.vmap(per_page)(images)
+            return jax.lax.map(per_page, images)
 
         self._run = jax.jit(run)
 

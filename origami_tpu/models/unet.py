@@ -86,10 +86,19 @@ def ensemble_apply(model, params_stack, tiles):
     tiles: (T, h, w, C). Returns summed softmax probabilities (T, h, w, K),
     the TPU equivalent of ConfidenceVotingPredictor (reference
     origami/core/predict.py:352-361).
-    """
-    def one(params):
-        logits = model.apply({"params": params}, tiles)
-        return jax.nn.softmax(logits, axis=-1)
 
-    probs = jax.vmap(one)(params_stack)    # (N, T, h, w, K)
-    return jnp.sum(probs, axis=0)
+    Models are evaluated SEQUENTIALLY via lax.scan with a running sum:
+    vmapping the ensemble axis would multiply activation memory by N
+    (e.g. 23 GB for 5 full-size U-Nets on one v5e), while each model's
+    convs already saturate the MXU on their own.
+    """
+    n = jax.tree_util.tree_leaves(params_stack)[0].shape[0]
+    K = model.num_classes
+    init = jnp.zeros(tiles.shape[:3] + (K,), jnp.float32)
+
+    def body(acc, params):
+        logits = model.apply({"params": params}, tiles)
+        return acc + jax.nn.softmax(logits, axis=-1), None
+
+    probs, _ = jax.lax.scan(body, init, params_stack)
+    return probs

@@ -1,0 +1,132 @@
+"""Tests for tools, utils stages, harmonization, evaluate metrics."""
+
+import json
+import zipfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def test_harmonize_default_schema_selftests():
+    from origami_tpu.tool.harmonize import Schema
+    schema = Schema.load("default")
+    assert schema.run_tests(verbose=False)
+
+
+def test_harmonize_bbz_schema_selftests():
+    from origami_tpu.tool.harmonize import Schema
+    schema = Schema.load("bbz")
+    assert schema.run_tests(verbose=False)
+
+
+def test_harmonize_alphabet_check():
+    from origami_tpu.tool.harmonize import Schema, IllegalCharacter
+    schema = Schema({
+        "channels": {"c": {"transform": "t", "alphabet": "abc ",
+                           "tests": []}},
+        "transforms": {"t": [("str", "x", "a")]},
+        "tests": {}})
+    assert schema.channels["c"].transform("xbc") == "abc"
+    with pytest.raises(IllegalCharacter):
+        schema.channels["c"].transform("abz")
+
+
+def test_annotation_db(tmp_path):
+    from origami_tpu.tool.lineload import AnnotationDB
+    db = AnnotationDB(tmp_path / "annotations.db")
+    db.add_line("p1.png", "regions/TEXT/0/0")
+    db.add_line("p1.png", "regions/TEXT/0/1", annotation="hello",
+                author="me")
+    assert len(db) == 2
+    db.update_annotation("p1.png", "regions/TEXT/0/0", "world")
+    recs = db.all_lines(annotated_only=True)
+    assert len(recs) == 2
+    db.remove_line("p1.png", "regions/TEXT/0/1")
+    assert len(db) == 1
+    db.set_split("p1.png", "regions/TEXT/0/0", 1, 0)
+    assert db.all_lines()[0]["training"] == 1
+
+
+def test_cer_wer():
+    from origami_tpu.batch.utils.evaluate import cer, wer, levenshtein
+    assert levenshtein("kitten", "sitting") == 3
+    assert cer("abcd", "abcd") == 0.0
+    assert cer("abcd", "abce") == pytest.approx(0.25)
+    assert wer("the quick fox", "the slow fox") == pytest.approx(1 / 3)
+    assert cer("", "") == 0.0
+
+
+def test_optimal_split():
+    from origami_tpu.tool.split import optimal_split, line_signature
+    rng = np.random.default_rng(0)
+    # two visually distinct line populations
+    sigs = []
+    names = []
+    for i in range(40):
+        base = np.zeros((8, 64)) if i % 2 == 0 else np.ones((8, 64)) * 0.5
+        strip = (base + rng.random((8, 64)) * 0.1) * 255
+        sigs.append(line_signature(strip))
+        names.append("line%d" % i)
+    train, valid = optimal_split(names, sigs, valid_ratio=0.25)
+    assert len(train) + len(valid) == 40
+    assert 4 <= len(valid) <= 20
+
+
+def test_table_region_combinator():
+    from origami_tpu.batch.core.utils import TableRegionCombinator
+    paths = [("regions", "TABULAR", "5.1.1.1"),
+             ("regions", "TABULAR", "5.2.1.1"),
+             ("regions", "TEXT", "3")]
+    c = TableRegionCombinator(paths)
+    base = ("regions", "TABULAR", "5")
+    assert set(c.mapping[base]) == set(paths[:2])
+    assert c.mapping[("regions", "TEXT", "3")] == [paths[2]]
+    assert c.combined_path(paths[0]) == base
+
+
+def test_line_rewriter():
+    from origami_tpu.batch.core.lines import LineRewriter
+    tables = dict(columns={"regions/TABULAR/5.1.1.1": [100.0, 200.0]})
+    rw = LineRewriter(tables)
+    lines = {("regions", "TABULAR", "5.1.1.1", "0"): "line_obj"}
+    parts = rw(lines)
+    # 2 columns -> 3 cells, named block.division.line.column
+    assert len(parts) == 3
+    paths = [p for p, _, _ in parts]
+    assert paths[0] == ("regions", "TABULAR", "5.1.1.1", "0")
+    assert paths[1] == ("regions", "TABULAR", "5.1.1.2", "0")
+    assert paths[2] == ("regions", "TABULAR", "5.1.1.3", "0")
+    cols = [c for _, _, c in parts]
+    assert cols[0] == (None, 100.0)
+    assert cols[1] == (100.0, 200.0)
+    assert cols[2] == (200.0, None)
+
+
+def test_concave_hull():
+    from origami_tpu.core.hull import concave_hull
+    # C-shaped point cloud with a wide open notch: the concave hull
+    # should dig into it (narrower than edge_len/concavity stays sealed,
+    # like the original concaveman criterion)
+    pts = []
+    for x in np.linspace(0, 10, 30):
+        for y in np.linspace(0, 10, 30):
+            if not (x > 4 and 2 < y < 8):
+                pts.append((x, y))
+    hull = concave_hull(np.array(pts), concavity=1.0, length_threshold=0.5)
+    from origami_tpu import geometry as G
+    poly = G.Polygon(hull)
+    full = 100.0
+    assert poly.area < 0.9 * full  # dug into the notch
+
+
+def test_kmeans():
+    from origami_tpu.tool.split import kmeans
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 0.1, (20, 2))
+    b = rng.normal(5, 0.1, (20, 2))
+    pts = np.vstack([a, b])
+    assign, centers = kmeans(pts, 2)
+    assert len(set(assign[:20])) == 1
+    assert len(set(assign[20:])) == 1
+    assert assign[0] != assign[20]
