@@ -40,7 +40,14 @@ def replicated(mesh):
 
 
 def shard_batch(mesh, batch):
-    """Place a pytree of arrays with leading batch dims onto the mesh."""
+    """Place a pytree of arrays with leading batch dims onto the mesh.
+
+    Arrays whose leading dim doesn't divide the data axis are replicated
+    (correct, just not sharded) instead of raising."""
+    n_data = mesh.shape.get("data", 1)
+
     def put(x):
-        return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+        if np.ndim(x) >= 1 and np.shape(x)[0] % n_data == 0:
+            return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+        return jax.device_put(x, replicated(mesh))
     return jax.tree.map(put, batch)

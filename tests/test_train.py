@@ -1,0 +1,91 @@
+"""Training-data generation + trainer integration tests."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import PIL.Image
+import pytest
+
+
+@pytest.fixture()
+def gt_corpus(tmp_path, rng):
+    """Two pages with region label masks."""
+    root = tmp_path / "gt"
+    root.mkdir()
+    for i in range(2):
+        img = (rng.random((300, 200)) * 255).astype(np.uint8)
+        lab = np.full((300, 200), 3, np.uint8)
+        lab[40:140, 20:180] = 0   # TEXT
+        lab[160:260, 20:180] = 1  # TABULAR
+        PIL.Image.fromarray(img).save(root / ("p%d.png" % i))
+        PIL.Image.fromarray(lab).save(
+            root / ("p%d.labels.region.png" % i))
+    return root
+
+
+def test_tile_generation(gt_corpus, tmp_path):
+    from origami_tpu.train.segment.data import (
+        TileDataset, load_tile_batch, class_weights, k_folds)
+    from origami_tpu.train.segment.labels import (
+        LabelSet, DEFAULT_BBZ_SPEC)
+    label_set = LabelSet(DEFAULT_BBZ_SPEC)
+    ds = TileDataset(gt_corpus, label_set, "region",
+                     full_size=(192, 288), tile_size=(192, 160),
+                     beta0=16, augmentations=2)
+    out = tmp_path / "tiles"
+    names = ds.generate(out)
+    assert len(names) == 2 * 2 * len(ds.layout)   # pages x variants
+    assert (out / "weights.json").exists()
+    assert (out / "codes.json").exists()
+    codes = json.loads((out / "codes.json").read_text())
+    assert codes["TEXT"] == 0 and codes["BACKGROUND"] == 3
+    w = json.loads((out / "weights.json").read_text())["weights"]
+    assert len(w) == 4 and all(x >= 0 for x in w)
+    folds = json.loads((out / "folds.json").read_text())["folds"]
+    assert sum(len(f) for f in folds) == 2
+    images, labels = load_tile_batch(out, names[:3], (160, 192))
+    assert images.shape == (3, 160, 192, 1)
+    assert labels.max() <= 3
+
+
+def test_warp_augmentation(rng):
+    import jax
+    from origami_tpu.train.segment.warp import WarpAugmentation
+    img = (rng.random((128, 96)) * 255).astype(np.uint8)
+    lab = np.zeros((128, 96), np.uint8)
+    lab[30:90, 20:70] = 1
+    aug = WarpAugmentation(amplitude=6.0, seed=1)
+    im2, lab2 = aug(img, lab)
+    assert im2.shape == img.shape and lab2.shape == lab.shape
+    assert set(np.unique(lab2)) <= {0, 1}
+    # deformation moved some labels but preserved rough mass
+    assert lab2.sum() == pytest.approx(lab.sum(), rel=0.2)
+    assert (lab2 != lab).sum() > 0
+
+
+def test_label_set():
+    from origami_tpu.train.segment.labels import (
+        LabelSet, DEFAULT_BBZ_SPEC)
+    ls = LabelSet(DEFAULT_BBZ_SPEC)
+    assert set(ls.kinds) == {"region", "separator"}
+    assert ls.label("separator", "V").orientation == "V"
+    assert ls.background("region").index == 3
+    assert ls.num_classes("region") == 4
+
+
+def test_recognizer_trainer_learns():
+    import jax
+    from origami_tpu.parallel.mesh import make_mesh
+    from origami_tpu.train.ocr.train import (
+        RecognizerTrainer, OCRTrainConfig, encode_labels)
+    cfg = OCRTrainConfig(num_symbols=5, height=32, steps=20, warmup=0,
+                         learning_rate=3e-3)
+    tr = RecognizerTrainer(cfg, mesh=make_mesh(model_parallel=1))
+    rng = np.random.default_rng(0)
+    x = rng.random((4, 32, 64, 1)).astype(np.float32)
+    widths = np.full((4,), 64, np.float32)
+    labels, pad = encode_labels(["ab", "ba", "ab", "aa"], "abcde")
+    losses = [tr.train_step(x, widths, labels, pad) for _ in range(5)]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
