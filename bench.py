@@ -57,22 +57,28 @@ def main():
 
         return jax.lax.map(per_page, images)
 
-    pages = jnp.asarray(
+    pages0 = jnp.asarray(
         np.random.default_rng(0).integers(
             0, 255, (batch, 2400, 1600)).astype(np.float32))
 
-    # compile
-    out = segment(stack, stack, pages)
-    jax.block_until_ready(out)
+    def fence(out):
+        # under the axon tunnel block_until_ready is not a reliable
+        # fence; materializing a scalar forces completion
+        return float(out[0][0, 0, 0]) + float(out[1][-1, -1, -1])
 
-    n_iters = 5
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = segment(stack, stack, pages)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # compile + settle
+    fence(segment(stack, stack, pages0))
 
-    pages_per_sec = (batch * n_iters) / dt
+    n_iters = 3
+    times = []
+    for i in range(n_iters):
+        pages = pages0 + (i + 1)   # defeat any execution caching
+        t0 = time.perf_counter()
+        fence(segment(stack, stack, pages))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    pages_per_sec = batch / dt
     print(json.dumps(dict(
         metric="segment_quality_pages_per_sec_per_chip",
         value=round(pages_per_sec, 3),

@@ -18,8 +18,9 @@ import numpy as np
 
 def _try_native():
     try:
-        from origami_tpu.geometry.native import concave_hull_native
-        return concave_hull_native
+        from origami_tpu.geometry.native_bindings import (
+            available, concave_hull_native)
+        return concave_hull_native if available() else None
     except Exception:
         return None
 
@@ -33,7 +34,9 @@ def concave_hull(points, concavity=2.0, length_threshold=0.0):
         return points
     native = _try_native()
     if native is not None:
-        return native(points, concavity, length_threshold)
+        ring = native(points, concavity, length_threshold)
+        if ring is not None:
+            return ring
     return _concave_hull_py(points, concavity, length_threshold)
 
 

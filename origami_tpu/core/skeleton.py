@@ -94,8 +94,13 @@ def trace_skeleton(skel, dist=None):
     """Trace a boolean skeleton mask into a SkeletonGraph.
 
     dist: optional distance-transform of the original mask (for widths).
+    Uses the C++ tracer (geometry.native_bindings) when built; falls
+    back to the vectorized-numpy walk below.
     """
     sk = np.asarray(skel, dtype=bool)
+    native = _trace_native(sk, dist)
+    if native is not None:
+        return native
     h, w = sk.shape
     ys, xs = np.nonzero(sk)
     if len(ys) == 0:
@@ -160,6 +165,40 @@ def trace_skeleton(skel, dist=None):
                     continue
                 visited_edges.add(key)
                 edges.append((n0, n1, np.asarray(path), width_at(path)))
+    return SkeletonGraph(nodes, edges)
+
+
+def _trace_native(sk, dist):
+    try:
+        from origami_tpu.geometry.native_bindings import (
+            available, trace_skeleton_native)
+        if not available():
+            return None
+        paths = trace_skeleton_native(sk)
+    except Exception:
+        return None
+    if paths is None:
+        return None
+    h, w = sk.shape
+    nodes = {}
+    node_ids = {}
+    edges = []
+    for path in paths:
+        if len(path) < 2:
+            continue
+        coords = np.stack([path % w, path // w], axis=-1).astype(float)
+        ends = []
+        for px in (int(path[0]), int(path[-1])):
+            if px not in node_ids:
+                node_ids[px] = len(nodes)
+                nodes[len(nodes)] = (float(px % w), float(px // w))
+            ends.append(node_ids[px])
+        if dist is not None:
+            vals = dist[path // w, path % w]
+            width = 2.0 * float(np.mean(vals)) if len(vals) else 1.0
+        else:
+            width = 1.0
+        edges.append((ends[0], ends[1], coords, width))
     return SkeletonGraph(nodes, edges)
 
 
