@@ -130,3 +130,33 @@ def test_kmeans():
     assert len(set(assign[:20])) == 1
     assert len(set(assign[20:])) == 1
     assert assign[0] != assign[20]
+
+
+def test_merge_dbs(tmp_path):
+    from origami_tpu.tool.lineload import AnnotationDB
+    from origami_tpu.tool.merge import merge_dbs
+    a = AnnotationDB(tmp_path / "a.db")
+    b = AnnotationDB(tmp_path / "b.db")
+    a.add_line("p1", "l1", "old")
+    b.add_line("p1", "l1", "new")
+    b.add_line("p2", "l1", "other")
+    n = merge_dbs(tmp_path / "a.db", tmp_path / "b.db", prefer="src")
+    assert n == 2
+    a2 = AnnotationDB(tmp_path / "a.db")
+    recs = {(r["page_path"], r["line_path"]): r["annotation"]
+            for r in a2.all_lines()}
+    assert recs[("p1", "l1")] == "new"
+    assert recs[("p2", "l1")] == "other"
+
+
+def test_ransac_skew():
+    from origami_tpu.train.segment.skew import ransac_angle
+    import math
+    # many segments at 0.03 rad, a few outliers
+    segs = []
+    for i in range(20):
+        x0, y0 = i * 10, 50 + i
+        segs.append((x0, y0, x0 + 100, y0 + 100 * math.tan(0.03)))
+    segs.append((0, 0, 0.5, 100))   # vertical outlier
+    a = ransac_angle(segs)
+    assert abs(a - 0.03) < 0.005
