@@ -48,7 +48,8 @@ def load_meta(path):
 def _build(meta):
     if meta["kind"] == "unet":
         return create_unet(len(meta["classes"]),
-                           width=meta.get("width", 1.0))
+                           width=meta.get("width", 1.0),
+                           s2d=meta.get("s2d", 1))
     if meta["kind"] == "recognizer":
         return create_recognizer(len(meta["charset"]))
     raise ValueError("unknown model kind %r" % meta.get("kind"))
@@ -96,17 +97,25 @@ def init_and_save(path, meta, seed=0):
     return params
 
 
-def default_segmentation_meta(kind="region", full_size=(1280, 2400),
-                              tile_size=(1280, 896), width=1.0):
+def default_segmentation_meta(kind="region", full_size=(1280, 2432),
+                              tile_size=None, width=1.0, s2d=2):
     """The BBZ-compatible class contracts (reference
-    origami/core/segment.py:97-135: 'regions' and 'separators' nets)."""
+    origami/core/segment.py:97-135: 'regions' and 'separators' nets).
+
+    Defaults are the TPU-native design: space-to-depth stem and
+    single-shot full-page inference (tile_size None). The reference's
+    tiled geometry (full 1280x2400, tiles 1280x896) remains supported by
+    passing tile_size explicitly — tiling on TPU only matters for
+    training memory, not inference."""
     if kind == "region":
         classes = ["TEXT", "TABULAR", "ILLUSTRATION", "BACKGROUND"]
         t = "region"
     else:
         classes = ["H", "V", "T", "BACKGROUND"]
         t = "separator"
-    return dict(
+    meta = dict(
         kind="unet", type=t, classes=classes, background="BACKGROUND",
-        full_size=list(full_size), tile_size=list(tile_size),
-        tile_beta=50, width=width, channels=1, version=1)
+        full_size=list(full_size), tile_beta=50, width=width,
+        channels=1, s2d=s2d, version=1)
+    meta["tile_size"] = list(tile_size) if tile_size else list(full_size)
+    return meta

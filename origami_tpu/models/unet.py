@@ -38,16 +38,31 @@ class ConvBlock(nn.Module):
 
 
 class UNet(nn.Module):
-    """Configurable U-Net emitting per-pixel class logits."""
+    """Configurable U-Net emitting per-pixel class logits.
+
+    s2d > 1 enables a space-to-depth stem: s2d x s2d patches fold into
+    channels so all convs run at reduced resolution — measured ~2x
+    faster at equal-or-larger capacity on v5e, because full-resolution
+    narrow convs are HBM-bandwidth-bound. Logits are emitted at the
+    reduced resolution and bilinearly upsampled.
+    """
 
     num_classes: int
     features: Sequence[int] = (32, 64, 128, 256)
     bottleneck: int = 512
     dtype: jnp.dtype = jnp.bfloat16
+    s2d: int = 1
 
     @nn.compact
     def __call__(self, x):
-        # x: (B, H, W, C) float32 in [0, 1]; H, W divisible by 2**len(features)
+        # x: (B, H, W, C) float32 in [0, 1]; H, W divisible by
+        # s2d * 2**len(features)
+        b, h0, w0, c0 = x.shape
+        s = self.s2d
+        if s > 1:
+            x = x.reshape(b, h0 // s, s, w0 // s, s, c0) \
+                .transpose(0, 1, 3, 2, 4, 5) \
+                .reshape(b, h0 // s, w0 // s, s * s * c0)
         x = x.astype(self.dtype)
         skips = []
         for f in self.features:
@@ -56,7 +71,7 @@ class UNet(nn.Module):
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = ConvBlock(self.bottleneck, self.dtype)(x)
         for f, skip in zip(reversed(self.features), reversed(skips)):
-            b, h, w, c = skip.shape
+            _, h, w, _ = skip.shape
             x = jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]),
                                  method="nearest")
             x = nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype,
@@ -64,14 +79,23 @@ class UNet(nn.Module):
             x = jnp.concatenate([x, skip], axis=-1)
             x = ConvBlock(f, self.dtype)(x)
         logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32)(x)
+        if s > 1:
+            logits = jax.image.resize(
+                logits, (b, h0, w0, self.num_classes), method="linear")
         return logits
 
 
-def create_unet(num_classes, width=1.0, dtype=jnp.bfloat16):
-    feats = tuple(max(8, int(round(f * width))) for f in (32, 64, 128, 256))
-    bott = max(16, int(round(512 * width)))
+def create_unet(num_classes, width=1.0, dtype=jnp.bfloat16, s2d=1):
+    if s2d > 1:
+        base_feats = (64, 128, 256)
+        base_bott = 512
+    else:
+        base_feats = (32, 64, 128, 256)
+        base_bott = 512
+    feats = tuple(max(8, int(round(f * width))) for f in base_feats)
+    bott = max(16, int(round(base_bott * width)))
     return UNet(num_classes=num_classes, features=feats,
-                bottleneck=bott, dtype=dtype)
+                bottleneck=bott, dtype=dtype, s2d=s2d)
 
 
 def init_unet(model, rng, tile_hw, in_channels=1):

@@ -34,24 +34,25 @@ def _sauvola_kernel(img_hbm, out_ref, scratch, sem, *,
     dma.wait()
     x = scratch[:]                       # (block_h + 2*halo, W)
     rad = window // 2
+    w = x.shape[1]
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_h, w), 1)
 
     def window_sum(v):
-        c = jnp.cumsum(v, axis=0)
-        c = jnp.pad(c, ((1, 0), (0, 0)))
-        hi = c[rad + halo + 1: rad + halo + 1 + block_h]
-        lo = c[halo - rad: halo - rad + block_h]
-        rows = hi - lo                   # (block_h, W) row-window sums
-        c2 = jnp.cumsum(rows, axis=1)
-        c2 = jnp.pad(c2, ((0, 0), (1, 0)))
-        w = c2.shape[1] - 1
-        right = jnp.clip(
-            jax.lax.broadcasted_iota(
-                jnp.int32, (block_h, w), 1) + rad + 1, 0, w)
-        left = jnp.clip(
-            jax.lax.broadcasted_iota(
-                jnp.int32, (block_h, w), 1) - rad, 0, w)
-        return (jnp.take_along_axis(c2, right, axis=1)
-                - jnp.take_along_axis(c2, left, axis=1))
+        # static sliding sums (cumsum isn't lowerable in Mosaic, and
+        # lane-unaligned pads hit unsupported concats): `window` shifted
+        # adds along rows via sublane slices, then along columns via
+        # pltpu.roll with wrap masking
+        rows = v[halo - rad: halo - rad + block_h]
+        for dy in range(1, window):
+            rows = rows + v[halo - rad + dy: halo - rad + dy + block_h]
+        out = rows
+        for dx in range(1, rad + 1):
+            right = pltpu.roll(rows, -dx, axis=1)
+            out = out + jnp.where(col_ids < w - dx, right, 0.0)
+            left = pltpu.roll(rows, dx, axis=1)
+            out = out + jnp.where(col_ids >= dx, left, 0.0)
+        return out
 
     counts = jnp.maximum(window_sum(jnp.ones_like(x)), 1.0)
     s1 = window_sum(x)

@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 from origami_tpu.models.unet import UNet, ConvBlock
 
 
