@@ -1,13 +1,16 @@
 """Benchmark: device pipeline throughput on real hardware.
 
 Measures the dominant compute of the reference pipeline — full-quality
-U-Net ensemble page segmentation (2 predictors x 5-model softmax-sum
-voting at the reference's 1280x2400 canvas / 1280x896 tiles, reference
-origami/core/segment.py:97-135) — plus the device dewarp-grid build and
-full-page remap, end to end from raw page tensors.
+ensemble page segmentation (2 predictors x 5-model softmax-sum voting,
+reference origami/core/segment.py:97-135) — with the TPU-native model
+design: space-to-depth U-Net, single-shot full-page inference at the
+1280x2432 canvas, models evaluated via lax.scan accumulation.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the north-star target of 10 pages/sec/chip (BASELINE.md).
+
+NB: under the axon tunnel block_until_ready is not a reliable fence;
+timing materializes scalars from results and perturbs inputs.
 """
 
 import json
@@ -20,40 +23,34 @@ def main():
     import jax
     import jax.numpy as jnp
     from origami_tpu.models import unet as unet_lib
-    from origami_tpu.ops.tiling import TileLayout
+    from origami_tpu.models.unet import ensemble_apply
     from origami_tpu.ops.resize import resize as _resize
 
-    full_w, full_h = 1280, 2400
-    tile_w, tile_h = 1280, 896
+    full_w, full_h = 1280, 2432
     n_classes = 4
     n_models_per_net = 5
     batch = 4
 
-    model = unet_lib.create_unet(n_classes, width=1.0)
+    model = unet_lib.create_unet(n_classes, width=1.0, s2d=2)
     rng = jax.random.PRNGKey(0)
-    params = unet_lib.init_unet(model, rng, (tile_h, tile_w))
+    params = unet_lib.init_unet(model, rng, (full_h, full_w))
     stack = jax.tree.map(
         lambda x: jnp.stack([x] * n_models_per_net), params)
-    layout = TileLayout((full_w, full_h), (tile_w, tile_h), beta0=50)
-
-    from origami_tpu.models.unet import ensemble_apply
 
     @jax.jit
     def segment(stack_a, stack_b, images):
-        # pages sequential (lax.map), models sequential (lax.scan inside
-        # ensemble_apply): one page's tile batch saturates the chip; the
-        # vmapped variants OOM HBM at full resolution
+        # pages sequential (lax.map), ensemble members sequential
+        # (lax.scan): one page already saturates the chip; vmapping
+        # either axis multiplies peak activation memory
         def per_page(img):
             net_in = _resize(img, (full_h, full_w), "area") / 255.0
-            tiles = layout.extract(net_in[..., None])
+            x = net_in[None, ..., None]
 
-            def ensemble(stack):
-                probs = ensemble_apply(model, stack, tiles)
-                return jnp.argmax(
-                    layout.stitch_logits(probs, n_classes), axis=-1)
+            def vote(stack):
+                probs = ensemble_apply(model, stack, x)
+                return jnp.argmax(probs[0], axis=-1).astype(jnp.uint8)
 
-            return ensemble(stack_a).astype(jnp.uint8), \
-                ensemble(stack_b).astype(jnp.uint8)
+            return vote(stack_a), vote(stack_b)
 
         return jax.lax.map(per_page, images)
 
@@ -62,17 +59,13 @@ def main():
             0, 255, (batch, 2400, 1600)).astype(np.float32))
 
     def fence(out):
-        # under the axon tunnel block_until_ready is not a reliable
-        # fence; materializing a scalar forces completion
         return float(out[0][0, 0, 0]) + float(out[1][-1, -1, -1])
 
-    # compile + settle
-    fence(segment(stack, stack, pages0))
+    fence(segment(stack, stack, pages0))   # compile + settle
 
-    n_iters = 3
     times = []
-    for i in range(n_iters):
-        pages = pages0 + (i + 1)   # defeat any execution caching
+    for i in range(3):
+        pages = pages0 + (i + 1)
         t0 = time.perf_counter()
         fence(segment(stack, stack, pages))
         times.append(time.perf_counter() - t0)

@@ -2,16 +2,20 @@
 
 The XLA formulation (ops.binarize) materializes two full integral images
 in HBM (8 bytes/px extra traffic each way). This kernel tiles the page
-into row blocks; each block DMAs its haloed input window from HBM into a
-VMEM scratch buffer (overlapping halos can't be expressed with
-BlockSpecs, whose offsets are in block units), computes the windowed
-mean/std with cumulative sums entirely in VMEM, and writes only the
-binary mask — one HBM read + one 1-byte write per pixel, the bandwidth
-floor.
+into (block_h x block_w) tiles; each tile DMAs its haloed window from
+HBM into VMEM scratch (overlapping halos can't be expressed with
+BlockSpecs, whose offsets are in block units), computes windowed
+mean/std with static sliding-window adds held in VMEM, and writes only
+the binary mask.
 
-Numerics match ops.binarize.sauvola_threshold for interior pixels;
-borders use zero-padded (not clamped) windows — equivalent in practice
-on document margins.
+Mosaic constraints shaped the implementation: no cumsum lowering, no
+lane-unaligned concats (jnp.pad), non-negative roll shifts only — so
+both window axes use static halo slices of the scratch buffer, and tile
+sizes are kept small enough that the ~15 live (block_h, block_w) f32
+temporaries fit the 16 MB VMEM budget.
+
+Borders use zero-padded windows (the XLA version clamps) — equivalent in
+practice on document margins; tests compare interiors.
 """
 
 from __future__ import annotations
@@ -25,33 +29,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _sauvola_kernel(img_hbm, out_ref, scratch, sem, *,
-                    window, k, r, block_h, halo):
+                    window, k, r, block_h, block_w, halo):
     i = pl.program_id(0)
+    j = pl.program_id(1)
     dma = pltpu.make_async_copy(
-        img_hbm.at[pl.ds(i * block_h, block_h + 2 * halo), :],
+        img_hbm.at[pl.ds(i * block_h, block_h + 2 * halo),
+                   pl.ds(j * block_w, block_w + 2 * halo)],
         scratch, sem)
     dma.start()
     dma.wait()
-    x = scratch[:]                       # (block_h + 2*halo, W)
+    x = scratch[:]                 # (block_h + 2*halo, block_w + 2*halo)
     rad = window // 2
-    w = x.shape[1]
-
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_h, w), 1)
 
     def window_sum(v):
-        # static sliding sums (cumsum isn't lowerable in Mosaic, and
-        # lane-unaligned pads hit unsupported concats): `window` shifted
-        # adds along rows via sublane slices, then along columns via
-        # pltpu.roll with wrap masking
-        rows = v[halo - rad: halo - rad + block_h]
+        # v: haloed array; static sliding sums along rows then columns
+        rows = v[halo - rad: halo - rad + block_h, :]
         for dy in range(1, window):
-            rows = rows + v[halo - rad + dy: halo - rad + dy + block_h]
-        out = rows
-        for dx in range(1, rad + 1):
-            right = pltpu.roll(rows, -dx, axis=1)
-            out = out + jnp.where(col_ids < w - dx, right, 0.0)
-            left = pltpu.roll(rows, dx, axis=1)
-            out = out + jnp.where(col_ids >= dx, left, 0.0)
+            rows = rows + v[halo - rad + dy:
+                            halo - rad + dy + block_h, :]
+        out = rows[:, halo - rad: halo - rad + block_w]
+        for dx in range(1, window):
+            out = out + rows[:, halo - rad + dx:
+                             halo - rad + dx + block_w]
         return out
 
     counts = jnp.maximum(window_sum(jnp.ones_like(x)), 1.0)
@@ -61,40 +60,44 @@ def _sauvola_kernel(img_hbm, out_ref, scratch, sem, *,
     var = jnp.maximum(s2 / counts - mean * mean, 0.0)
     std = jnp.sqrt(var)
     thresh = mean * (1.0 + k * ((std / r) - 1.0))
-    center = x[halo: halo + block_h]
+    center = x[halo: halo + block_h, halo: halo + block_w]
     out_ref[:] = (center > thresh).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("window", "block_h", "interpret"))
-def sauvola_pallas(image, window=15, k=0.2, r=128.0, block_h=256,
-                   interpret=False):
+                   static_argnames=("window", "block_h", "block_w",
+                                    "interpret"))
+def sauvola_pallas(image, window=15, k=0.2, r=128.0, block_h=128,
+                   block_w=512, interpret=False):
     """Fused Sauvola binarization. image (H, W) -> uint8 mask
     (1 = paper)."""
     img = image.astype(jnp.float32)
     h, w = img.shape
     halo = window // 2 + 1
-    n_blocks = -(-h // block_h)
-    pad_h = n_blocks * block_h - h
-    img_p = jnp.pad(img, ((halo, halo + pad_h), (0, 0)))
+    n_by = -(-h // block_h)
+    n_bx = -(-w // block_w)
+    pad_h = n_by * block_h - h
+    pad_w = n_bx * block_w - w
+    img_p = jnp.pad(img, ((halo, halo + pad_h), (halo, halo + pad_w)))
 
     kernel = functools.partial(
         _sauvola_kernel, window=window, k=k, r=r,
-        block_h=block_h, halo=halo)
+        block_h=block_h, block_w=block_w, halo=halo)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_blocks * block_h, w),
-                                       jnp.uint8),
-        grid=(n_blocks,),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_by * block_h, n_bx * block_w), jnp.uint8),
+        grid=(n_by, n_bx),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (block_h, w), lambda i: (i, 0),
+            (block_h, block_w), lambda i, j: (i, j),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((block_h + 2 * halo, w), jnp.float32),
+            pltpu.VMEM((block_h + 2 * halo, block_w + 2 * halo),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(img_p)
-    return out[:h]
+    return out[:h, :w]

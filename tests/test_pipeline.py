@@ -251,6 +251,79 @@ def test_ocr_and_compose(corpus):
     assert len(ro) >= 2
 
 
+def test_utils_and_annotate_stages(corpus):
+    _run_chain(corpus, upto="compose")
+    out = corpus / "page0001.out"
+    opts = dict(lock_strategy="NONE", plain=True)
+
+    # annotate overlays
+    from origami_tpu.batch.annotate.contours import (
+        AnnotateContoursProcessor)
+    AnnotateContoursProcessor(dict(stage="reliable", **opts)) \
+        .traverse(corpus)
+    assert (out / "annotation.contours.3.jpg").exists()
+    from origami_tpu.batch.annotate.flow import AnnotateFlowProcessor
+    AnnotateFlowProcessor(opts).traverse(corpus)
+    assert (out / "annotation.flow.jpg").exists()
+    from origami_tpu.batch.annotate.grid import AnnotateGridProcessor
+    AnnotateGridProcessor(opts).traverse(corpus)
+    assert (out / "annotation.dewarp.jpg").exists()
+    from origami_tpu.batch.annotate.layout import AnnotateLayoutProcessor
+    AnnotateLayoutProcessor(opts).traverse(corpus)
+    assert (out / "annotation.layout.jpg").exists()
+    from origami_tpu.batch.annotate.lines import AnnotateLinesProcessor
+    AnnotateLinesProcessor(dict(stage="reliable", **opts)) \
+        .traverse(corpus)
+    assert (out / "annotation.lines.jpg").exists()
+
+    # signature + thumbnail
+    from origami_tpu.batch.utils.signature import SignatureProcessor
+    SignatureProcessor(opts).traverse(corpus)
+    assert (out / "signature.zip").exists()
+    from origami_tpu.batch.utils.thumbnail import ThumbnailProcessor
+    ThumbnailProcessor(opts).traverse(corpus)
+    assert (out / "thumbnail.jpg").exists()
+
+    # evaluate against a fabricated ground truth (identical text -> 0)
+    with zipfile.ZipFile(out / "compose.zip") as zf:
+        text = zf.read("page.txt").decode("utf8")
+    (corpus / "page0001.gt.txt").write_text(text)
+    from origami_tpu.batch.utils.evaluate import EvaluationProcessor
+    ev = EvaluationProcessor(opts)
+    ev.traverse(corpus)
+    assert len(ev._results) == 1
+    assert ev._results[0][1] == 0.0    # CER 0 on identical text
+
+    # reset removes chosen artifacts
+    from origami_tpu.batch.utils.reset import ResetProcessor
+    ResetProcessor(dict(artifacts="ocr", **opts)).traverse(corpus)
+    assert not (out / "ocr.zip").exists()
+
+
+def test_export_stages(corpus, tmp_path):
+    _run_chain(corpus, upto="order")
+    opts = dict(lock_strategy="NONE", plain=True)
+    from origami_tpu.batch.export.lines import LineExportProcessor
+    out_dir = tmp_path / "lines_export"
+    LineExportProcessor(dict(output=str(out_dir), line_height=32,
+                             **opts)).traverse(corpus)
+    pngs = list(out_dir.glob("**/*.png"))
+    assert len(pngs) > 5
+    import PIL.Image
+    im = PIL.Image.open(pngs[0])
+    assert im.size[1] == 32
+
+    from origami_tpu.batch.export.pagexml import PageXMLExportProcessor
+    xml_dir = tmp_path / "xml_export"
+    PageXMLExportProcessor(dict(output=str(xml_dir), **opts)) \
+        .traverse(corpus)
+    xmls = list(xml_dir.glob("*.xml"))
+    assert len(xmls) == 1
+    from lxml import etree
+    root = etree.parse(str(xmls[0])).getroot()
+    assert len(root.findall(".//{*}TextLine")) > 5
+
+
 def test_skip_existing_and_overwrite(corpus):
     _run_segment(corpus)
     out = corpus / "page0001.out" / "segment.zip"
