@@ -887,6 +887,29 @@ class FixSpillOverHOnSeparator:
                 regions.add_contour(k[:2], remaining)
 
 
+class Squeeze:
+    """Split dumbbell-shaped regions at their narrowest pinch
+    (reference layout `Squeeze` op backed by CGAL straight skeletons,
+    origami/core/contours.py:227-271; raster-based here)."""
+
+    def __init__(self, filters, max_neck_ratio=0.3, min_part_ratio=0.2):
+        self._filter = RegionsFilter(filters)
+        self._max_neck = max_neck_ratio
+        self._min_part = min_part_ratio
+
+    def __call__(self, regions):
+        from origami_tpu.core.geometry_ops import squeeze_split
+        for k, contour in list(regions.contours.items()):
+            if not self._filter(k):
+                continue
+            parts = squeeze_split(contour, self._max_neck,
+                                  self._min_part)
+            if len(parts) > 1:
+                regions.remove_contour(k)
+                for p in parts:
+                    regions.add_contour(k[:2], p)
+
+
 class AreaFilter:
     def __init__(self, min_area):
         self._min_area = min_area
