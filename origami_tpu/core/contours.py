@@ -184,14 +184,22 @@ class EstimatePolyline:
 
     def __call__(self, mask):
         from origami_tpu.core.polyline import (
-            estimate_polyline, polyline_from_polygon)
+            Polyline, estimate_polyline, polyline_from_polygon)
         m = (np.asarray(mask) > 0).astype(np.uint8)
-        n, labels = cv2.connectedComponents(m, connectivity=8)
+        n, labels, stats, _ = cv2.connectedComponentsWithStats(
+            m, connectivity=8)
         out = []
         for i in range(1, n):
-            comp = labels == i
-            if comp.sum() < 8:
+            if stats[i, cv2.CC_STAT_AREA] < 8:
                 continue
+            # work on the component's bbox crop — thinning the full
+            # page once per component is O(components x page)
+            x0 = stats[i, cv2.CC_STAT_LEFT]
+            y0 = stats[i, cv2.CC_STAT_TOP]
+            cw = stats[i, cv2.CC_STAT_WIDTH]
+            ch = stats[i, cv2.CC_STAT_HEIGHT]
+            comp = (labels[y0:y0 + ch, x0:x0 + cw] == i)
+            comp = np.pad(comp, 2)
             pl = estimate_polyline(comp, self._orientation, self._tol)
             if pl is None:
                 polys = find_contour_polygons(comp)
@@ -199,7 +207,8 @@ class EstimatePolyline:
                     pl = polyline_from_polygon(
                         polys[0], self._orientation, self._tol)
             if pl is not None and not pl.is_empty:
-                out.append(pl)
+                c = pl.np_coords + np.array([x0 - 2, y0 - 2])
+                out.append(Polyline(c, pl.width))
         return out
 
 

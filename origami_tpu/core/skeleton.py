@@ -205,12 +205,25 @@ def _trace_native(sk, dist):
 class FastSkeleton:
     """mask -> SkeletonGraph, device thinning + chamfer EDT widths."""
 
+    @staticmethod
+    def _bucket(n):
+        # pad sizes to sparse buckets so jit caches stay warm across the
+        # many distinct component crops
+        b = 32
+        while b < n:
+            b *= 2
+        return b
+
     def __call__(self, mask):
         import jax.numpy as jnp
         from origami_tpu.ops.morphology import skeletonize, label_edt
         ink = np.asarray(mask) > 0
-        sk = np.asarray(skeletonize(jnp.asarray(ink)))
+        h, w = ink.shape
+        ph, pw = self._bucket(h), self._bucket(w)
+        padded = np.zeros((ph, pw), dtype=bool)
+        padded[:h, :w] = ink
+        sk = np.asarray(skeletonize(jnp.asarray(padded)))[:h, :w]
         # stroke half-width = distance from background at each ink pixel
         d_bg = np.asarray(label_edt(jnp.asarray(
-            (~ink).astype(np.float32))))
+            (~padded).astype(np.float32))))[:h, :w]
         return trace_skeleton(sk, dist=d_bg)
