@@ -364,16 +364,24 @@ class BatchedProcessor(Processor):
 
     Locking happens per batch; failures are captured per page. Subclasses
     implement `process_batch(pages_kwargs)` where pages_kwargs is a list
-    of (page_path, kwargs)."""
+    of (page_path, kwargs), and may override `preload(page_path)` —
+    called on a background thread pool for the NEXT batch while the
+    device computes the current one (the async host feeder replacing the
+    reference's process pool; results arrive via kwargs['_preloaded'])."""
 
-    def __init__(self, options=None, batch_size=8):
+    def __init__(self, options=None, batch_size=8, preload_threads=4):
         super().__init__(options)
         self._batch_size = batch_size
+        self._preload_threads = preload_threads
 
     def process_batch(self, pages):
         """Override: pages = [(path, kwargs)]. Return {path: info} or
         raise (whole batch recorded FAILED)."""
         raise NotImplementedError
+
+    def preload(self, page_path):
+        """Override: host-side IO for one page (decode, normalize)."""
+        return None
 
     def process(self, page_path, **kwargs):
         # fallback: batch of one
@@ -381,7 +389,9 @@ class BatchedProcessor(Processor):
 
     def _process_queue(self, queued):
         # device batching is single-host-process; the page-batch axis and
-        # the mesh provide the parallelism
+        # the mesh provide the parallelism, while a thread pool prefetches
+        # the next batch's pages during device compute
+        from concurrent.futures import ThreadPoolExecutor
         n = len(queued)
         if n == 0:
             if not self._plain:
@@ -390,36 +400,28 @@ class BatchedProcessor(Processor):
         done = 0
         t0 = time.time()
         actor = "page" if self._lock_level == "PAGE" else self.processor_name
-        for chunk in _chunks(queued, self._batch_size):
-            with self._mutex.lock(actor,
-                                  [str(p) for _, p, _ in chunk]) as locked:
-                if not locked:
-                    continue
-                ready = [(p, kw) for _, p, kw in chunk
-                         if all(f.is_ready() for f in kw.values())]
-                if not ready:
-                    continue
-                for p, _kw in ready:
-                    find_data_path(p).mkdir(exist_ok=True)
-                try:
-                    with elapsed_timer() as elapsed:
-                        infos = self.process_batch(ready) or {}
-                    per_page = round(elapsed() / max(len(ready), 1), 2)
-                    for p, _kw in ready:
-                        info = dict(infos.get(p, {}))
-                        info.setdefault("status", "COMPLETED")
-                        info["elapsed"] = per_page
-                        self._update_runtime_info(
-                            p, {self.processor_name: info})
-                except KeyboardInterrupt:
-                    raise
-                except Exception:
-                    logging.exception("batch failed")
-                    for p, _kw in ready:
-                        self._update_runtime_info(
-                            p, {self.processor_name: dict(
-                                status="FAILED",
-                                traceback=traceback.format_exc())})
+        chunks = list(_chunks(queued, self._batch_size))
+        pool = ThreadPoolExecutor(max_workers=self._preload_threads)
+        futures = {}
+
+        def prefetch(chunk):
+            for _, p, _kw in chunk:
+                if p not in futures:
+                    futures[p] = pool.submit(self.preload, p)
+
+        if chunks:
+            prefetch(chunks[0])
+        for ci, chunk in enumerate(chunks):
+            if ci + 1 < len(chunks):
+                prefetch(chunks[ci + 1])
+            for _, p, kw in chunk:
+                f = futures.pop(p, None)
+                if f is not None:
+                    try:
+                        kw["_preloaded"] = f.result()
+                    except Exception:
+                        kw["_preloaded"] = None
+            self._run_batch_chunk(chunk, actor)
             done += len(chunk)
             if self._plain:
                 for _, p, _kw in chunk:
@@ -428,3 +430,36 @@ class BatchedProcessor(Processor):
                 rate = done / max(time.time() - t0, 1e-6)
                 print("\r[%d/%d] %.2f pages/s" % (done, n, rate),
                       end="" if done < n else "\n", flush=True)
+        pool.shutdown(wait=False)
+
+    def _run_batch_chunk(self, chunk, actor):
+        with self._mutex.lock(actor,
+                              [str(p) for _, p, _ in chunk]) as locked:
+            if not locked:
+                return
+            ready = [(p, kw) for _, p, kw in chunk
+                     if all(f.is_ready() for f in kw.values()
+                            if hasattr(f, "is_ready"))]
+            if not ready:
+                return
+            for p, _kw in ready:
+                find_data_path(p).mkdir(exist_ok=True)
+            try:
+                with elapsed_timer() as elapsed:
+                    infos = self.process_batch(ready) or {}
+                per_page = round(elapsed() / max(len(ready), 1), 2)
+                for p, _kw in ready:
+                    info = dict(infos.get(p, {}))
+                    info.setdefault("status", "COMPLETED")
+                    info["elapsed"] = per_page
+                    self._update_runtime_info(
+                        p, {self.processor_name: info})
+            except KeyboardInterrupt:
+                raise
+            except Exception:
+                logging.exception("batch failed")
+                for p, _kw in ready:
+                    self._update_runtime_info(
+                        p, {self.processor_name: dict(
+                            status="FAILED",
+                            traceback=traceback.format_exc())})

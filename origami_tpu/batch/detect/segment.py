@@ -45,9 +45,16 @@ class SegmentationProcessor(BatchedProcessor):
                     self._model_path, target=self._target)
         return self._predictor
 
+    def preload(self, page_path):
+        # image decode happens on the feeder threads while the device
+        # segments the previous batch
+        return Page(page_path).warped
+
     def process_batch(self, pages):
         predictor = self._get_predictor()
-        images = [Page(p).warped for p, _ in pages]
+        images = [kwargs.get("_preloaded") if kwargs.get("_preloaded")
+                  is not None else Page(p).warped
+                  for p, kwargs in pages]
         segs = predictor.predict_batch(images)
         for (p, kwargs), seg in zip(pages, segs):
             kwargs["output"].segmentation(seg)

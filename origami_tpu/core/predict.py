@@ -146,11 +146,20 @@ class HeuristicSegmentationPredictor:
                       "BACKGROUND": 3}
     SEP_CLASSES = {"H": 0, "V": 1, "T": 2, "BACKGROUND": 3}
 
-    def __init__(self, downscale=2, sep_len=21, text_gap=25):
+    def __init__(self, sep_len=None, text_gap=None):
+        self._sep_len = sep_len
+        self._text_gap = text_gap
+        self._graphs = {}
+
+    def _graph_for(self, sep_len, text_gap):
         import jax
         import jax.numpy as jnp
         from jax import lax
         from origami_tpu.ops.binarize import sauvola
+
+        key = (sep_len, text_gap)
+        if key in self._graphs:
+            return self._graphs[key]
 
         def run(img):
             ink = (~sauvola(img, 31)).astype(jnp.float32)
@@ -179,12 +188,20 @@ class HeuristicSegmentationPredictor:
             reg = jnp.where(text > 0.5, self.REGION_CLASSES["TEXT"], reg)
             return reg, sep
 
-        self._run = jax.jit(run)
+        graph = jax.jit(run)
+        self._graphs[key] = graph
+        return graph
 
     def __call__(self, page):
         import jax.numpy as jnp
         img = jnp.asarray(np.asarray(page), jnp.float32)
-        reg, sep = self._run(img)
+        # structuring element sizes scale with resolution: separators
+        # must span several text lines; the closing gap must bridge
+        # inter-line whitespace (~2% / 3% of page height)
+        h = img.shape[0]
+        sep_len = self._sep_len or max(21, int(h * 0.02) | 1)
+        text_gap = self._text_gap or max(25, int(h * 0.03) | 1)
+        reg, sep = self._graph_for(sep_len, text_gap)(img)
         return Segmentation([
             Prediction("REGION", "regions", np.asarray(reg),
                        self.REGION_CLASSES),
