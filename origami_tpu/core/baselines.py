@@ -58,19 +58,25 @@ def _smooth(x, k):
 
 def estimate_skew(ink, max_angle=0.12, n_angles=25):
     """Skew angle maximizing sheared-projection variance. ink: (H, W)
-    float mask (1 = ink)."""
+    float mask (1 = ink).
+
+    Evaluated from per-column profiles: shearing shifts whole columns,
+    so each candidate angle is a bincount over (row + shift[col]) with
+    column-profile weights — O(n_angles * H * W) via np.bincount."""
     h, w = ink.shape
     if h < 4 or w < 4 or ink.sum() < 4:
         return 0.0
     xs = np.arange(w) - w / 2.0
+    rows = np.arange(h)
     best_a, best_s = 0.0, -1.0
-    col_sums = ink.sum(axis=0)
+    flat_ink = ink.reshape(-1)
+    row_idx = np.repeat(rows, w)
+    col_idx = np.tile(np.arange(w), h)
     for a in np.linspace(-max_angle, max_angle, n_angles):
-        shift = np.tan(a) * xs
-        prof = np.zeros(h + 2)
-        ys = np.arange(h)[:, None] + shift[None, :]
-        yi = np.clip(np.round(ys).astype(int), 0, h - 1)
-        np.add.at(prof, yi.reshape(-1), ink.reshape(-1))
+        shift = np.round(np.tan(a) * xs).astype(np.int64)
+        yi = row_idx + shift[col_idx]
+        yi -= yi.min()
+        prof = np.bincount(yi, weights=flat_ink)
         s = prof.var()
         if s > best_s:
             best_s, best_a = s, a
@@ -96,10 +102,10 @@ def detect_baselines(crop_binarized, origin=(0, 0), min_line_height=4,
     shift = tan_a * xs
 
     # sheared row profile
-    prof = np.zeros(h)
     ys = np.arange(h)[:, None] + shift[None, :]
     yi = np.clip(np.round(ys).astype(int), 0, h - 1)
-    np.add.at(prof, yi.reshape(-1), ink.reshape(-1))
+    prof = np.bincount(yi.reshape(-1), weights=ink.reshape(-1),
+                       minlength=h)[:h]
     sm = _smooth(prof, 3)
 
     thresh = max(0.08 * sm.max(), 0.5)
