@@ -66,6 +66,16 @@ def estimate_skew(ink, max_angle=0.12, n_angles=25):
     h, w = ink.shape
     if h < 4 or w < 4 or ink.sum() < 4:
         return 0.0
+    # estimate on a downsampled crop — small angles survive 2-4x
+    # decimation and the bincounts get proportionally cheaper
+    ds = 1
+    while (h // ds) * (w // ds) > 256 * 512 and ds < 4:
+        ds *= 2
+    if ds > 1:
+        hh, ww = (h // ds) * ds, (w // ds) * ds
+        ink = ink[:hh, :ww].reshape(h // ds, ds, w // ds, ds) \
+            .sum(axis=(1, 3))
+        h, w = ink.shape
     xs = np.arange(w) - w / 2.0
     rows = np.arange(h)
     best_a, best_s = 0.0, -1.0

@@ -192,15 +192,37 @@ class HeuristicSegmentationPredictor:
         self._graphs[key] = graph
         return graph
 
+    @staticmethod
+    def estimate_line_pitch(gray):
+        """Dominant text-line pitch via autocorrelation of the row ink
+        profile (host-side, cheap)."""
+        import cv2
+        g = np.asarray(gray, dtype=np.uint8)
+        _, binar = cv2.threshold(g, 0, 1,
+                                 cv2.THRESH_BINARY_INV + cv2.THRESH_OTSU)
+        prof = binar.sum(axis=1).astype(np.float64)
+        prof -= prof.mean()
+        h = len(prof)
+        if h < 64 or prof.std() < 1e-6:
+            return max(12, h // 40)
+        ac = np.correlate(prof, prof, mode="full")[h - 1:]
+        lo, hi = 8, max(16, h // 10)
+        lag = lo + int(np.argmax(ac[lo:hi]))
+        return lag
+
     def __call__(self, page):
         import jax.numpy as jnp
-        img = jnp.asarray(np.asarray(page), jnp.float32)
-        # structuring element sizes scale with resolution: separators
-        # must span several text lines; the closing gap must bridge
-        # inter-line whitespace (~2% / 3% of page height)
+        gray = np.asarray(page)
+        img = jnp.asarray(gray, jnp.float32)
+        # structuring elements follow the text-line pitch: the closing
+        # gap must bridge inter-line whitespace but stay below column
+        # gutters (~2-3x the inter-line gap); separators span several
+        # pitches
         h = img.shape[0]
-        sep_len = self._sep_len or max(21, int(h * 0.02) | 1)
-        text_gap = self._text_gap or max(25, int(h * 0.03) | 1)
+        pitch = self.estimate_line_pitch(gray)
+        sep_len = self._sep_len or min(max(21, int(pitch * 1.2) | 1),
+                                       max(21, h // 40) | 1)
+        text_gap = self._text_gap or max(9, int(pitch * 0.8) | 1)
         reg, sep = self._graph_for(sep_len, text_gap)(img)
         return Segmentation([
             Prediction("REGION", "regions", np.asarray(reg),
