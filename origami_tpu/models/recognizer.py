@@ -75,8 +75,11 @@ class LineRecognizer(nn.Module):
         return 4
 
 
-def create_recognizer(num_symbols, dtype=jnp.bfloat16):
-    return LineRecognizer(num_symbols=num_symbols, dtype=dtype)
+def create_recognizer(num_symbols, dtype=jnp.bfloat16,
+                      conv_features=(64, 128, 256), lstm_features=256):
+    return LineRecognizer(num_symbols=num_symbols, dtype=dtype,
+                          conv_features=tuple(conv_features),
+                          lstm_features=lstm_features)
 
 
 def init_recognizer(model, rng, height=48, width=256):

@@ -51,7 +51,11 @@ def _build(meta):
                            width=meta.get("width", 1.0),
                            s2d=meta.get("s2d", 1))
     if meta["kind"] == "recognizer":
-        return create_recognizer(len(meta["charset"]))
+        return create_recognizer(
+            len(meta["charset"]),
+            conv_features=tuple(meta.get("conv_features",
+                                         (64, 128, 256))),
+            lstm_features=meta.get("lstm_features", 256))
     raise ValueError("unknown model kind %r" % meta.get("kind"))
 
 

@@ -29,28 +29,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _sauvola_kernel(img_hbm, out_ref, scratch, sem, *,
-                    window, k, r, block_h, block_w, halo):
+                    window, k, r, block_h, block_w, halo_y, halo_x):
     i = pl.program_id(0)
     j = pl.program_id(1)
     dma = pltpu.make_async_copy(
-        img_hbm.at[pl.ds(i * block_h, block_h + 2 * halo),
-                   pl.ds(j * block_w, block_w + 2 * halo)],
+        img_hbm.at[pl.ds(i * block_h, block_h + 2 * halo_y),
+                   pl.ds(j * block_w, block_w + 2 * halo_x)],
         scratch, sem)
     dma.start()
     dma.wait()
-    x = scratch[:]                 # (block_h + 2*halo, block_w + 2*halo)
+    x = scratch[:]              # (block_h + 2*halo_y, block_w + 2*halo_x)
     rad = window // 2
 
     def window_sum(v):
         # v: haloed array; static sliding sums along rows then columns
-        rows = v[halo - rad: halo - rad + block_h, :]
+        rows = v[halo_y - rad: halo_y - rad + block_h, :]
         for dy in range(1, window):
-            rows = rows + v[halo - rad + dy:
-                            halo - rad + dy + block_h, :]
-        out = rows[:, halo - rad: halo - rad + block_w]
+            rows = rows + v[halo_y - rad + dy:
+                            halo_y - rad + dy + block_h, :]
+        out = rows[:, halo_x - rad: halo_x - rad + block_w]
         for dx in range(1, window):
-            out = out + rows[:, halo - rad + dx:
-                             halo - rad + dx + block_w]
+            out = out + rows[:, halo_x - rad + dx:
+                             halo_x - rad + dx + block_w]
         return out
 
     counts = jnp.maximum(window_sum(jnp.ones_like(x)), 1.0)
@@ -60,7 +60,7 @@ def _sauvola_kernel(img_hbm, out_ref, scratch, sem, *,
     var = jnp.maximum(s2 / counts - mean * mean, 0.0)
     std = jnp.sqrt(var)
     thresh = mean * (1.0 + k * ((std / r) - 1.0))
-    center = x[halo: halo + block_h, halo: halo + block_w]
+    center = x[halo_y: halo_y + block_h, halo_x: halo_x + block_w]
     out_ref[:] = (center > thresh).astype(jnp.uint8)
 
 
@@ -73,16 +73,20 @@ def sauvola_pallas(image, window=15, k=0.2, r=128.0, block_h=128,
     (1 = paper)."""
     img = image.astype(jnp.float32)
     h, w = img.shape
-    halo = window // 2 + 1
+    rad1 = window // 2 + 1
+    # DMA slice shapes must align to the (8, 128) f32 tiling
+    halo_y = -(-rad1 // 8) * 8
+    halo_x = -(-rad1 // 128) * 128
     n_by = -(-h // block_h)
     n_bx = -(-w // block_w)
     pad_h = n_by * block_h - h
     pad_w = n_bx * block_w - w
-    img_p = jnp.pad(img, ((halo, halo + pad_h), (halo, halo + pad_w)))
+    img_p = jnp.pad(img, ((halo_y, halo_y + pad_h),
+                          (halo_x, halo_x + pad_w)))
 
     kernel = functools.partial(
         _sauvola_kernel, window=window, k=k, r=r,
-        block_h=block_h, block_w=block_w, halo=halo)
+        block_h=block_h, block_w=block_w, halo_y=halo_y, halo_x=halo_x)
 
     out = pl.pallas_call(
         kernel,
@@ -94,7 +98,7 @@ def sauvola_pallas(image, window=15, k=0.2, r=128.0, block_h=128,
             (block_h, block_w), lambda i, j: (i, j),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((block_h + 2 * halo, block_w + 2 * halo),
+            pltpu.VMEM((block_h + 2 * halo_y, block_w + 2 * halo_x),
                        jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],

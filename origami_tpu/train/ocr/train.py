@@ -28,13 +28,17 @@ class OCRTrainConfig:
     weight_decay: float = 1e-5
     steps: int = 50_000
     warmup: int = 1000
+    conv_features: tuple = (64, 128, 256)
+    lstm_features: int = 256
 
 
 class RecognizerTrainer:
     def __init__(self, cfg, mesh=None, seed=0):
         self.cfg = cfg
         self.mesh = mesh or mesh_lib.make_mesh()
-        self.model = rec_lib.create_recognizer(cfg.num_symbols)
+        self.model = rec_lib.create_recognizer(
+            cfg.num_symbols, conv_features=cfg.conv_features,
+            lstm_features=cfg.lstm_features)
         params = rec_lib.init_recognizer(
             self.model, jax.random.PRNGKey(seed), height=cfg.height)
         sched = optax.warmup_cosine_decay_schedule(
@@ -74,7 +78,9 @@ class RecognizerTrainer:
     def save(self, path, charset):
         from origami_tpu.models import registry
         meta = dict(kind="recognizer", charset=charset,
-                    height=self.cfg.height, version=1)
+                    height=self.cfg.height,
+                    conv_features=list(self.cfg.conv_features),
+                    lstm_features=self.cfg.lstm_features, version=1)
         registry.save_model(path, meta, self.params)
 
 
