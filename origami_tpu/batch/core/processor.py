@@ -288,10 +288,35 @@ class Processor:
             print("running %s." % self.processor_name, flush=True)
         queued = self._build_queue(path)
         self._mutex = self._make_mutex(path)
+        profiler = None
+        device_trace = None
+        if self._profile:
+            import cProfile
+            profiler = cProfile.Profile()
+            profiler.enable()
+            try:
+                import jax
+                trace_dir = str(Path(path).parent
+                                if not Path(path).is_dir() else path)
+                device_trace = jax.profiler.trace(
+                    trace_dir + "/jax-trace")
+                device_trace.__enter__()
+            except Exception:
+                device_trace = None
         try:
             self._process_queue(queued)
         finally:
             self._mutex = None
+            if device_trace is not None:
+                try:
+                    device_trace.__exit__(None, None, None)
+                except Exception:
+                    pass
+            if profiler is not None:
+                import pstats
+                profiler.disable()
+                pstats.Stats(profiler).sort_stats(
+                    "cumulative").print_stats(30)
 
     def _process_queue(self, queued):
         n = len(queued)

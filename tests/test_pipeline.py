@@ -324,6 +324,42 @@ def test_export_stages(corpus, tmp_path):
     assert len(root.findall(".//{*}TextLine")) > 5
 
 
+def test_track_changes(corpus):
+    """The golden re-run diffing harness: unchanged artifacts leave
+    .checked markers, changed content leaves .changed markers."""
+    _run_segment(corpus)
+    out = corpus / "page0001.out"
+    from origami_tpu.batch.detect.contours import ContoursProcessor
+    opts = dict(lock_strategy="NONE", plain=True)
+    ContoursProcessor(dict(track_changes="t1", **opts)).traverse(corpus)
+    # first run: artifact newly created -> .checked
+    assert (out / "contours.0.checked").exists()
+    (out / "contours.0.checked").unlink()
+    # identical recompute -> no marker, file kept
+    ContoursProcessor(dict(track_changes="t2", **opts)).traverse(corpus)
+    assert not (out / "contours.0.changed").exists()
+    assert (out / "contours.0.zip").exists()
+
+
+def test_legacy_segment_conversion(corpus):
+    import pickle
+    import io as _io
+    out = corpus / "page0001.out"
+    out.mkdir(exist_ok=True)
+    labels = np.zeros((30, 20), np.uint8)
+    buf = _io.BytesIO()
+    np.savez(buf, labels)
+    legacy = [("k", ("RegionLabel",
+                     {"TEXT": 0, "BACKGROUND": 3}, buf.getvalue()))]
+    with open(out / "segmentation.pickle", "wb") as f:
+        pickle.dump(legacy, f)
+    from origami_tpu.batch.utils.segment import SegmentConverterProcessor
+    SegmentConverterProcessor(dict(plain=True)).traverse(corpus)
+    from origami_tpu.core.segment import Segmentation
+    seg = Segmentation.open(out / "segment.zip")
+    assert seg.predictions[0].labels.shape == (30, 20)
+
+
 def test_skip_existing_and_overwrite(corpus):
     _run_segment(corpus)
     out = corpus / "page0001.out" / "segment.zip"
