@@ -89,3 +89,27 @@ def test_recognizer_trainer_learns():
     losses = [tr.train_step(x, widths, labels, pad) for _ in range(5)]
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_distillation_step():
+    import jax
+    import jax.numpy as jnp
+    from origami_tpu.models import unet as unet_lib
+    from origami_tpu.parallel.mesh import make_mesh
+    from origami_tpu.train.segment.distill import Distiller, DistillConfig
+
+    teacher = unet_lib.create_unet(4, width=0.25)
+    t1 = unet_lib.init_unet(teacher, jax.random.PRNGKey(0), (32, 32))
+    t2 = unet_lib.init_unet(teacher, jax.random.PRNGKey(1), (32, 32))
+    stack = jax.tree.map(lambda a, b: jnp.stack([a, b]), t1, t2)
+
+    cfg = DistillConfig(num_classes=4, width=0.25, s2d=1,
+                        tile_hw=(32, 32), steps=50, warmup=0,
+                        learning_rate=1e-2)
+    d = Distiller(cfg, teacher, stack, mesh=make_mesh(model_parallel=1))
+    rng = np.random.default_rng(0)
+    imgs = rng.random((2, 32, 32, 1)).astype(np.float32)
+    losses = [d.train_step(imgs) for _ in range(8)]
+    assert all(np.isfinite(l) for l in losses)
+    # adamw has a small transient; the tail must descend below the start
+    assert losses[-1] < losses[0]
