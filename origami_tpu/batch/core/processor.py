@@ -71,28 +71,48 @@ class Watchdog(threading.Thread):
         return self._cancelled
 
 
+def _current_jax_platforms():
+    try:
+        import jax
+        return jax.config.jax_platforms
+    except Exception:
+        return None
+
+
 def _chunks(items, n):
     for i in range(0, len(items), n):
         yield items[i:i + n]
 
 
-# worker globals (re-initialized after fork)
+# worker globals (initialized per spawned worker)
 _worker_self = None
 _worker_heartbeat = None
 
 
 def _worker_run_chunk(chunk):
+    """chunk: [(index, path_str)] — readers/writers are rebuilt in the
+    worker (prepare_process), so nothing jax- or lambda-laden crosses
+    the process boundary."""
     results = []
-    for i, path in _worker_self._run_chunk(chunk):
-        results.append((i, path))
+    for i, path in _worker_self._run_chunk_paths(
+            [(i, Path(p)) for i, p in chunk]):
+        results.append((i, str(path)))
         if _worker_heartbeat is not None:
             _worker_heartbeat.value = time.time()
     return results
 
 
-def _worker_init(proc, heartbeat):
+def _worker_init(factory, factory_args, heartbeat, mutex,
+                 jax_platforms):
     global _worker_self, _worker_heartbeat
-    _worker_self = proc
+    if jax_platforms:
+        # inherit the parent's backend choice (spawned children don't
+        # see config set after import, and the axon plugin overrides
+        # the env var)
+        import jax
+        jax.config.update("jax_platforms", jax_platforms)
+    _worker_self = factory(*factory_args)
+    _worker_self._worker_mutex = mutex
     _worker_heartbeat = heartbeat
 
 
@@ -118,6 +138,7 @@ class Processor:
         if self._profile:
             self._overwrite = True
         self._mutex = None
+        self._worker_mutex = None
         self._verbose = False
 
     # -- CLI ---------------------------------------------------------------
@@ -270,6 +291,26 @@ class Processor:
                 self._run_page(p, kwargs, locked)
                 yield i, p
 
+    def _run_chunk_paths(self, chunk):
+        """Worker-side variant: chunk = [(i, path)]; readers/writers are
+        constructed here (in the worker process)."""
+        if self._mutex is None:
+            self._mutex = self._worker_mutex
+        actor = "page" if self._lock_level == "PAGE" else self.processor_name
+        with self._mutex.lock(actor,
+                              [str(p) for _, p in chunk]) as locked:
+            for i, p in chunk:
+                kwargs = self.prepare_process(p)
+                if kwargs is False:
+                    yield i, p
+                    continue
+                self._run_page(p, kwargs, locked)
+                yield i, p
+
+    def spawn_factory(self):
+        """(callable, args) rebuilding this processor in a worker."""
+        return self.__class__, (self._options,)
+
     def _make_mutex(self, path):
         if self._lock_strategy == "DB":
             if self._lock_database:
@@ -338,16 +379,25 @@ class Processor:
                       end="" if done < n else "\n", flush=True)
 
         if self._processes > 1:
-            heartbeat = multiprocessing.Value("d", time.time())
-            with multiprocessing.Pool(
-                    self._processes, maxtasksperchild=4,
-                    initializer=_worker_init,
-                    initargs=(self, heartbeat)) as pool:
+            # spawn, not fork: the parent has initialized jax/XLA whose
+            # internal threads deadlock forked children. Workers rebuild
+            # the processor via spawn_factory and re-derive their
+            # readers/writers from page paths.
+            ctx = multiprocessing.get_context("spawn")
+            heartbeat = ctx.Value("d", time.time())
+            factory, fargs = self.spawn_factory()
+            path_chunks = [[(i, str(p)) for i, p, _ in chunk]
+                           for chunk in _chunks(queued,
+                                                self.LOCK_CHUNK_SIZE)]
+            with ctx.Pool(self._processes, maxtasksperchild=4,
+                          initializer=_worker_init,
+                          initargs=(factory, fargs, heartbeat,
+                                    self._mutex,
+                                    _current_jax_platforms())) as pool:
                 watchdog = Watchdog(pool, self._timeout, heartbeat)
                 watchdog.start()
                 for results in pool.imap_unordered(
-                        _worker_run_chunk,
-                        _chunks(queued, self.LOCK_CHUNK_SIZE)):
+                        _worker_run_chunk, path_chunks):
                     heartbeat.value = time.time()
                     for i, p in results:
                         progress(i, p)

@@ -370,3 +370,24 @@ def test_skip_existing_and_overwrite(corpus):
     SegmentationProcessor("heuristic", dict(
         lock_strategy="NONE", plain=True, overwrite=True)).traverse(corpus)
     assert out.stat().st_mtime_ns > t0
+
+
+def test_multiprocess_host_stage(corpus, synthetic_page):
+    """The fork-based worker pool with DB locking (host geometry
+    stages parallelize across processes like the reference)."""
+    import PIL.Image
+    # add more pages so both workers get work
+    for i in range(2, 5):
+        PIL.Image.fromarray(synthetic_page).save(
+            corpus / ("page%04d.png" % i))
+    _run_segment(corpus)
+    from origami_tpu.batch.detect.contours import ContoursProcessor
+    ContoursProcessor(dict(lock_strategy="DB", plain=True,
+                           processes=2)).traverse(corpus)
+    for i in [1] + list(range(2, 5)):
+        assert (corpus / ("page%04d.out" % i) /
+                "contours.0.zip").exists()
+    # lock db exists and is empty of stale locks
+    from origami_tpu.batch.core.mutex import DatabaseMutex
+    m = DatabaseMutex(corpus / "origami.lock.db")
+    assert m.held() == []
