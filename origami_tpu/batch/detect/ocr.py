@@ -17,7 +17,7 @@ from pathlib import Path
 import click
 import numpy as np
 
-from origami_tpu.batch.core.processor import Processor
+from origami_tpu.batch.core.processor import BatchedProcessor, Processor
 from origami_tpu.batch.core.io import Artifact, Input, Output, Stage
 from origami_tpu.batch.core.lines import LineExtractor
 from origami_tpu.batch.core.utils import RegionsFilter
@@ -114,9 +114,14 @@ class RecognizerPredictor:
         return texts, confs
 
 
-class OCRProcessor(Processor):
+class OCRProcessor(BatchedProcessor):
+    """Batches line strips ACROSS pages: the width-bucketed recognizer
+    graphs see fuller batches than any single page provides (the
+    reference predicts per page, origami/batch/detect/ocr.py:255-267)."""
+
     def __init__(self, options):
-        super().__init__(options)
+        super().__init__(options,
+                         batch_size=options.get("pages_per_batch", 4))
         self._opt = options
         self._model_spec = str(options.get("model", "FAKE"))
         self._predictor = None
@@ -155,26 +160,39 @@ class OCRProcessor(Processor):
                     batch_size=self._opt.get("batch_size", 32))
         return self._predictor
 
-    def process(self, page_path, reliable, output):
+    def process_batch(self, pages):
         predictor = self._get_predictor()
         dry = self._model_spec.upper() == "DRY"
 
-        extractor = LineExtractor(
-            reliable.tables, predictor.line_height, self._opt,
-            min_confidence=reliable.lines.min_confidence)
-        strips = extractor(reliable.lines.by_path, ignored=self._ignored)
+        all_strips = []
+        spans = []
+        for page_path, kwargs in pages:
+            reliable = kwargs["reliable"]
+            extractor = LineExtractor(
+                reliable.tables, predictor.line_height, self._opt,
+                min_confidence=reliable.lines.min_confidence)
+            strips = extractor(reliable.lines.by_path,
+                               ignored=self._ignored)
+            spans.append((page_path, kwargs, len(all_strips),
+                          len(all_strips) + len(strips)))
+            all_strips.extend(strips)
 
+        infos = {}
         if dry:
-            for path, _ in strips:
+            for path, _ in all_strips:
                 logging.info("would OCR %s", "/".join(map(str, path)))
-            return dict(n_lines=len(strips), dry=True)
+            for page_path, kwargs, a, b in spans:
+                infos[page_path] = dict(n_lines=b - a, dry=True)
+            return infos
 
-        texts, confs = predictor.predict(strips)
+        texts, confs = predictor.predict(all_strips)
 
-        with output.ocr() as zf:
-            for (path, _), text in zip(strips, texts):
-                zf.writestr("/".join(map(str, path)) + ".txt", text)
-        return dict(n_lines=len(strips))
+        for page_path, kwargs, a, b in spans:
+            with kwargs["output"].ocr() as zf:
+                for (path, _), text in zip(all_strips[a:b], texts[a:b]):
+                    zf.writestr("/".join(map(str, path)) + ".txt", text)
+            infos[page_path] = dict(n_lines=b - a)
+        return infos
 
 
 @click.command()

@@ -391,3 +391,19 @@ def test_multiprocess_host_stage(corpus, synthetic_page):
     from origami_tpu.batch.core.mutex import DatabaseMutex
     m = DatabaseMutex(corpus / "origami.lock.db")
     assert m.held() == []
+
+
+def test_page_pipeline_api(synthetic_page):
+    """The one-call serving API drives all nine stages in memory."""
+    from origami_tpu.pipeline import PagePipeline
+    pipe = PagePipeline(segmentation_model="heuristic",
+                        ocr_model="FAKE", page_xml=True)
+    result = pipe.process(synthetic_page)
+    assert "text for " in result.text
+    assert result.page_xml is not None
+    assert len(result.regions) >= 2
+    assert len(result.lines) > 10
+    assert len(result.order) >= 2
+    from lxml import etree
+    root = etree.fromstring(result.page_xml)
+    assert root.tag.endswith("PcGts")
