@@ -113,3 +113,21 @@ def test_distillation_step():
     assert all(np.isfinite(l) for l in losses)
     # adamw has a small transient; the tail must descend below the start
     assert losses[-1] < losses[0]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from origami_tpu.train import checkpoint as ckpt
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    ckpt.save_state(tmp_path / "ck", 7, params, opt_state)
+    assert ckpt.latest_step(tmp_path / "ck") == 7
+    restored = ckpt.restore_state(tmp_path / "ck", params, opt_state)
+    assert restored is not None
+    step, p2, o2 = restored
+    assert step == 7
+    np.testing.assert_allclose(np.asarray(p2["w"]), 1.0)
