@@ -325,6 +325,8 @@ class Processor:
         return _mutex.make_mutex(self._lock_strategy)
 
     def traverse(self, path):
+        from origami_tpu.parallel.cache import ensure_compilation_cache
+        ensure_compilation_cache()
         if not self._plain:
             print("running %s." % self.processor_name, flush=True)
         queued = self._build_queue(path)

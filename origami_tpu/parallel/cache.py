@@ -1,0 +1,32 @@
+"""Persistent XLA compilation cache.
+
+First compiles are expensive (tens of seconds locally, minutes through a
+remote-compile tunnel); the batch CLIs enable jax's persistent cache so
+every page-size bucket / model shape compiles once per machine, not once
+per process. Disable with ORIGAMI_TPU_NO_COMPILE_CACHE=1.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+_DONE = False
+
+
+def ensure_compilation_cache(cache_dir=None):
+    global _DONE
+    if _DONE or os.environ.get("ORIGAMI_TPU_NO_COMPILE_CACHE") == "1":
+        return
+    _DONE = True
+    try:
+        import jax
+        path = Path(cache_dir or os.environ.get(
+            "ORIGAMI_TPU_COMPILE_CACHE",
+            Path.home() / ".cache" / "origami_tpu" / "jax"))
+        path.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
