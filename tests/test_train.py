@@ -131,3 +131,35 @@ def test_checkpoint_roundtrip(tmp_path):
     step, p2, o2 = restored
     assert step == 7
     np.testing.assert_allclose(np.asarray(p2["w"]), 1.0)
+
+
+def test_gt_segments_cleanup():
+    from origami_tpu.train.segment.segments import clean_separators
+    from origami_tpu.core.math import Orientation
+    mask = np.zeros((60, 300), np.uint8)
+    # one separator drawn as two fragments with a 10px gap
+    mask[30:33, 10:140] = 1
+    mask[30:33, 150:290] = 1
+    # a speck
+    mask[10:12, 50:60] = 1
+    segs = clean_separators(mask, Orientation.H, max_gap=20,
+                            min_length=25)
+    assert len(segs) == 1
+    c = segs[0].np_coords
+    assert c[:, 0].min() < 20 and c[:, 0].max() > 280
+
+
+def test_page_annotations(tmp_path, rng):
+    from origami_tpu.train.segment.annotations import (
+        load_page_annotations)
+    img = (rng.random((50, 40)) * 255).astype(np.uint8)
+    lab = np.full((50, 40), 3, np.uint8)
+    lab[10:30, 5:35] = 0
+    PIL.Image.fromarray(img).save(tmp_path / "p.png")
+    PIL.Image.fromarray(lab).save(tmp_path / "p.labels.region.png")
+    ann = load_page_annotations(tmp_path / "p.png")
+    assert ann.kinds == ["region"]
+    assert (ann.labels("region") == 0).sum() == 20 * 30
+    with pytest.raises(FileNotFoundError):
+        PIL.Image.fromarray(img).save(tmp_path / "q.png")
+        load_page_annotations(tmp_path / "q.png")
