@@ -25,6 +25,7 @@ CLIS = [
     ("origami_tpu.batch.utils.dewarp", "dewarp_images"),
     ("origami_tpu.batch.utils.pdf", "pdf"),
     ("origami_tpu.batch.utils.segment", "convert_segmentation"),
+    ("origami_tpu.batch.utils.compare", "compare"),
     ("origami_tpu.batch.annotate.contours", "annotate_contours"),
     ("origami_tpu.batch.annotate.flow", "annotate_flow"),
     ("origami_tpu.batch.annotate.grid", "annotate_grid"),

@@ -160,3 +160,29 @@ def test_ransac_skew():
     segs.append((0, 0, 0.5, 100))   # vertical outlier
     a = ransac_angle(segs)
     assert abs(a - 0.03) < 0.005
+
+
+def test_compare_utility(tmp_path):
+    from origami_tpu.core.segment import Prediction, Segmentation
+    from origami_tpu.batch.utils.compare import (
+        compare_segmentation, compare_ocr, mask_iou)
+    lab_a = np.zeros((40, 30), np.uint8)
+    lab_a[5:20, 5:25] = 1
+    lab_b = lab_a.copy()
+    lab_b[5:20, 5:10] = 0   # shrink class 1
+    classes = {"TEXT": 0, "TABULAR": 1, "BACKGROUND": 3}
+    for name, lab in (("a", lab_a), ("b", lab_b)):
+        Segmentation([Prediction("REGION", "regions", lab, classes)]) \
+            .save(tmp_path / ("%s.zip" % name))
+    out = compare_segmentation(tmp_path / "a.zip", tmp_path / "b.zip")
+    assert 0.6 < out["regions"]["TABULAR"] < 0.9
+    ious = mask_iou(lab_a, lab_a, 4)
+    assert all(v == 1.0 for v in ious.values())
+
+    import zipfile as _zf
+    for name, text in (("oa", "hello world"), ("ob", "hallo world")):
+        with _zf.ZipFile(tmp_path / ("%s.zip" % name), "w") as zf:
+            zf.writestr("regions/TEXT/0/0.txt", text)
+    oc = compare_ocr(tmp_path / "oa.zip", tmp_path / "ob.zip")
+    assert 0 < oc["cer"] < 0.2
+    assert oc["n_lines"] == 1
