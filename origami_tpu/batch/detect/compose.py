@@ -138,15 +138,56 @@ class ComposeProcessor(Processor):
 
         orders = input.order["orders"]
         order = [tuple(n.split("/")) for n in orders.get("*", [])]
-        # region-level entries only, combined table paths
-        ordered_regions = []
+        # group the order: region-level entries combine table paths;
+        # consecutive line-level entries (from reading-order region
+        # splitting) form merged pseudo-regions holding just those
+        # lines (the reference's MergedTextRegion, compose.py)
+        groups = []
+        seen_regions = set()
         for path in order:
-            base = combinator.combined_path(path[:3])
-            if base not in ordered_regions:
-                ordered_regions.append(base)
+            if len(path) > 3:
+                if groups and groups[-1][0] == "lines":
+                    groups[-1][1].append(path)
+                else:
+                    groups.append(("lines", [path]))
+            else:
+                base = combinator.combined_path(path[:3])
+                if base not in seen_regions:
+                    seen_regions.add(base)
+                    groups.append(("region", base))
 
         region_ids = []
-        for base in ordered_regions:
+        merged_idx = 0
+        for kind_g, payload in groups:
+            if kind_g == "lines":
+                merged_idx += 1
+                rid = "r_merged_%d" % merged_idx
+                reg = doc.append_region("TextRegion", rid,
+                                        region_type="paragraph")
+                members = [(lp, lines.get(lp)) for lp in payload]
+                shapes = [l.image_space_polygon
+                          for _, l in members if l is not None]
+                if shapes:
+                    hull = G.unary_union(shapes).convex_hull
+                    reg.append_coords(
+                        _rewarp(grid, hull)._all_coords())
+                text_accum = []
+                for lp, line in members:
+                    text = dict(region_texts.get(tuple(lp[:3]), [])) \
+                        .get(tuple(lp), "")
+                    tl = reg.append_text_line(
+                        "l_%s" % "_".join(map(str, lp)))
+                    if line is not None:
+                        poly = _rewarp(grid, line.image_space_polygon)
+                        tl.append_coords(poly._all_coords())
+                        bl = _rewarp(grid, G.LineString(line.baseline))
+                        tl.append_baseline(bl.np_coords)
+                    tl.append_text_equiv(self._clean(text))
+                    text_accum.append(self._clean(text))
+                reg.append_text_equiv("\n".join(text_accum))
+                region_ids.append(rid)
+                continue
+            base = payload
             label = base[1]
             members = combinator.mapping.get(base, [base])
             shapes = [regions[m].image_space_polygon
