@@ -85,6 +85,10 @@ class FlowDetectionProcessor(Processor):
                          help="Max angle std for a trusted separator."),
             click.option("--min-line-length", type=float, default=0.05,
                          help="Min relative length of used lines."),
+            click.option("--estimate-border-skew", is_flag=True,
+                         default=False,
+                         help="Add V samples from the page content's "
+                              "side borders."),
         ]
         for o in opts:
             f = o(f)
@@ -131,6 +135,12 @@ class FlowDetectionProcessor(Processor):
                 if abs(phi) < max_phi:
                     samples_h.append(tuple(line.center), phi)
                     samples_v.append(tuple(line.center), phi + math.pi / 2)
+
+        if self._opt.get("estimate_border_skew"):
+            from origami_tpu.core.flow import border_angle_samples
+            for pt, phi in border_angle_samples(page.binarized):
+                if abs(phi - math.pi / 2) < max_phi:
+                    samples_v.append(pt, phi)
 
         # drop noisy sample sets (mixed-up separators etc.)
         if samples_h.std > max_std * 3:

@@ -156,6 +156,55 @@ def patch_skew_samples(binarized, patch=256, min_ink_frac=0.02,
 
 
 # ---------------------------------------------------------------------------
+# border skew estimation
+# ---------------------------------------------------------------------------
+
+def border_angle_samples(binarized, n_samples=12, smooth=51,
+                         min_content_rows=0.3):
+    """V-field samples from the page content's left/right borders
+    (reference BorderEstimator, origami/batch/detect/flow.py:157-235):
+    the ink envelope's side profiles bend with the page warp; their
+    local tangents constrain the vertical field near the margins."""
+    ink = ~np.asarray(binarized, dtype=bool)
+    h, w = ink.shape
+    rows_with_ink = ink.any(axis=1)
+    if rows_with_ink.sum() < h * min_content_rows:
+        return []
+    first = np.where(ink.any(axis=1), np.argmax(ink, axis=1), -1)
+    last = np.where(ink.any(axis=1),
+                    w - 1 - np.argmax(ink[:, ::-1], axis=1), -1)
+    out = []
+    for profile in (first, last):
+        ys = np.nonzero(profile >= 0)[0]
+        if len(ys) < smooth * 2:
+            continue
+        xs = profile[ys].astype(np.float64)
+        # robust smoothing: running median then boxcar
+        k = smooth
+        med = np.array([np.median(xs[max(0, i - k): i + k])
+                        for i in range(len(xs))])
+        # reject rows far from the envelope (indents, dropcaps)
+        good = np.abs(xs - med) < np.maximum(10.0, 0.02 * w)
+        ys_g = ys[good]
+        med_g = med[good]
+        if len(ys_g) < n_samples * 4:
+            continue
+        idx = np.linspace(k, len(ys_g) - 1 - k, n_samples).astype(int)
+        for i in idx:
+            lo = max(0, i - k)
+            hi = min(len(ys_g) - 1, i + k)
+            dy = float(ys_g[hi] - ys_g[lo])
+            dx = float(med_g[hi] - med_g[lo])
+            if dy <= 0:
+                continue
+            phi = math.atan2(dy, dx)
+            if phi < 0:
+                phi += math.pi
+            out.append(((float(med_g[i]), float(ys_g[i])), phi))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # separator angle samples (host)
 # ---------------------------------------------------------------------------
 

@@ -283,3 +283,19 @@ def test_lingrid():
     out = f([(5, 5), (20, 5)])
     assert out[0] == pytest.approx(0.5, abs=1e-6)
     assert np.isfinite(out[1])  # extrapolation falls back to nearest
+
+
+def test_border_angle_samples():
+    from origami_tpu.core.flow import border_angle_samples
+    # page with a slanted left content border
+    binar = np.ones((400, 300), dtype=bool)
+    for y in range(40, 360):
+        x0 = 40 + int(0.1 * (y - 40))   # left edge drifts right
+        binar[y, x0:260] = False        # ink region
+    samples = border_angle_samples(binar, n_samples=8)
+    assert len(samples) >= 8
+    left = [phi for (x, y), phi in samples if x < 150]
+    assert left
+    # left border slope 0.1 -> angle ~ atan2(dy=1, dx=0.1) ~ 1.47 rad
+    med = float(np.median(left))
+    assert abs(med - np.arctan2(1.0, 0.1)) < 0.08
