@@ -11,10 +11,7 @@ from __future__ import annotations
 import numpy as np
 import cv2
 
-from .poly import (
-    Polygon, MultiPolygon, LineString, MultiLineString, Point,
-    GEOMETRY_EMPTY, Geometry,
-)
+from .poly import Polygon, MultiPolygon, GEOMETRY_EMPTY
 
 # raster side-length budget for boolean ops
 _MAX_SIDE = 4096.0

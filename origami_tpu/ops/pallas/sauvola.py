@@ -30,15 +30,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _sauvola_kernel(img_hbm, out_ref, scratch, sem, *,
                     window, k, r, block_h, block_w, halo_y, halo_x):
+    # double-buffered: each grid step waits for the DMA the previous
+    # step started for it, and kicks off the next block's DMA before
+    # computing — input transfer hides behind the window sums
     i = pl.program_id(0)
     j = pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        img_hbm.at[pl.ds(i * block_h, block_h + 2 * halo_y),
-                   pl.ds(j * block_w, block_w + 2 * halo_x)],
-        scratch, sem)
-    dma.start()
-    dma.wait()
-    x = scratch[:]              # (block_h + 2*halo_y, block_w + 2*halo_x)
+    n_bx = pl.num_programs(1)
+    step = i * n_bx + j
+    n_steps = pl.num_programs(0) * n_bx
+    slot = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+
+    def dma_for(linear, buf_slot):
+        bi = linear // n_bx
+        bj = jax.lax.rem(linear, n_bx)
+        return pltpu.make_async_copy(
+            img_hbm.at[pl.ds(bi * block_h, block_h + 2 * halo_y),
+                       pl.ds(bj * block_w, block_w + 2 * halo_x)],
+            scratch.at[buf_slot], sem.at[buf_slot])
+
+    @pl.when(step == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(step + 1 < n_steps)
+    def _():
+        dma_for(step + 1, nxt).start()
+
+    dma_for(step, slot).wait()
+    x = scratch[slot]           # (block_h + 2*halo_y, block_w + 2*halo_x)
     rad = window // 2
 
     def window_sum(v):
@@ -98,9 +118,9 @@ def sauvola_pallas(image, window=15, k=0.2, r=128.0, block_h=128,
             (block_h, block_w), lambda i, j: (i, j),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((block_h + 2 * halo_y, block_w + 2 * halo_x),
-                       jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, block_h + 2 * halo_y,
+                        block_w + 2 * halo_x), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(img_p)

@@ -12,7 +12,7 @@ extraction and stitch are single device ops over a (T, th, tw, C) batch.
 
 from __future__ import annotations
 
-import functools
+
 import itertools
 import math
 

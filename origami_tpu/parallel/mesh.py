@@ -9,7 +9,6 @@ inserts the collectives.
 
 from __future__ import annotations
 
-import math
 
 import jax
 import numpy as np

@@ -66,7 +66,8 @@ def merge_by_distance(polylines, max_gap=20.0, max_angle=0.2):
             for j in range(i + 1, len(polylines)):
                 a, b = polylines[i], polylines[j]
                 da, db = _direction(a), _direction(b)
-                if abs(float(np.cross(da, db))) > max_angle:
+                cross = da[0] * db[1] - da[1] * db[0]
+                if abs(float(cross)) > max_angle:
                     continue
                 # try all endpoint pairings
                 ae = _endpoints(a)
