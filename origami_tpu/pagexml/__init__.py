@@ -1,0 +1,1 @@
+"""PAGE 2019 XML writing + transcription ground-truth reading."""

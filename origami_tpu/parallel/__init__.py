@@ -1,0 +1,2 @@
+"""origami_tpu.parallel — meshes, shardings, multi-host assignment,
+compilation cache."""
