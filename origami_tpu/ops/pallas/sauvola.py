@@ -29,17 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _sauvola_kernel(img_hbm, out_ref, scratch, sem, *,
-                    window, k, r, block_h, block_w, halo_y, halo_x):
-    # double-buffered: each grid step waits for the DMA the previous
-    # step started for it, and kicks off the next block's DMA before
-    # computing — input transfer hides behind the window sums
+                    window, k, r, block_h, block_w, halo_y, halo_x,
+                    double_buffer):
     i = pl.program_id(0)
     j = pl.program_id(1)
     n_bx = pl.num_programs(1)
-    step = i * n_bx + j
-    n_steps = pl.num_programs(0) * n_bx
-    slot = jax.lax.rem(step, 2)
-    nxt = jax.lax.rem(step + 1, 2)
 
     def dma_for(linear, buf_slot):
         bi = linear // n_bx
@@ -49,16 +43,30 @@ def _sauvola_kernel(img_hbm, out_ref, scratch, sem, *,
                        pl.ds(bj * block_w, block_w + 2 * halo_x)],
             scratch.at[buf_slot], sem.at[buf_slot])
 
-    @pl.when(step == 0)
-    def _():
-        dma_for(0, 0).start()
+    step = i * n_bx + j
+    if double_buffer:
+        # pipelined: each grid step waits for the DMA the previous step
+        # started for it and kicks off the next block's transfer first
+        n_steps = pl.num_programs(0) * n_bx
+        slot = jax.lax.rem(step, 2)
+        nxt = jax.lax.rem(step + 1, 2)
 
-    @pl.when(step + 1 < n_steps)
-    def _():
-        dma_for(step + 1, nxt).start()
+        @pl.when(step == 0)
+        def _():
+            dma_for(0, 0).start()
 
-    dma_for(step, slot).wait()
-    x = scratch[slot]           # (block_h + 2*halo_y, block_w + 2*halo_x)
+        @pl.when(step + 1 < n_steps)
+        def _():
+            dma_for(step + 1, nxt).start()
+
+        dma_for(step, slot).wait()
+        x = scratch[slot]
+    else:
+        slot = 0
+        dma = dma_for(step, 0)
+        dma.start()
+        dma.wait()
+        x = scratch[0]
     rad = window // 2
 
     def window_sum(v):
@@ -86,9 +94,9 @@ def _sauvola_kernel(img_hbm, out_ref, scratch, sem, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("window", "block_h", "block_w",
-                                    "interpret"))
+                                    "interpret", "double_buffer"))
 def sauvola_pallas(image, window=15, k=0.2, r=128.0, block_h=128,
-                   block_w=512, interpret=False):
+                   block_w=512, interpret=False, double_buffer=False):
     """Fused Sauvola binarization. image (H, W) -> uint8 mask
     (1 = paper)."""
     img = image.astype(jnp.float32)
@@ -106,7 +114,8 @@ def sauvola_pallas(image, window=15, k=0.2, r=128.0, block_h=128,
 
     kernel = functools.partial(
         _sauvola_kernel, window=window, k=k, r=r,
-        block_h=block_h, block_w=block_w, halo_y=halo_y, halo_x=halo_x)
+        block_h=block_h, block_w=block_w, halo_y=halo_y, halo_x=halo_x,
+        double_buffer=double_buffer)
 
     out = pl.pallas_call(
         kernel,

@@ -29,3 +29,15 @@ def test_sauvola_pallas_odd_height():
                                     interpret=True))
     assert out.shape == (197, 256)
     assert out.dtype == np.uint8
+
+
+def test_sauvola_pallas_double_buffered(synthetic_page):
+    from origami_tpu.ops.pallas.sauvola import sauvola_pallas
+    import jax.numpy as jnp
+    img = synthetic_page[:256, :384]
+    a = np.asarray(sauvola_pallas(jnp.asarray(img), 15, block_h=64,
+                                  block_w=128, interpret=True))
+    b = np.asarray(sauvola_pallas(jnp.asarray(img), 15, block_h=64,
+                                  block_w=128, interpret=True,
+                                  double_buffer=True))
+    np.testing.assert_array_equal(a, b)
