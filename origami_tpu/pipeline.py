@@ -150,3 +150,33 @@ class PagePipeline:
             text=text, page_xml=page_xml, regions=regions, lines=lines,
             order=order, tables=tables,
             artifacts_dir=out if self._keep else None)
+
+
+def _main():
+    import click
+
+    @click.command()
+    @click.argument("image_path", type=click.Path(exists=True),
+                    required=True)
+    @click.option("-m", "--model", type=str, default="heuristic")
+    @click.option("--ocr-model", type=str, default="FAKE")
+    @click.option("--layout", type=str, default="bbz")
+    @click.option("--xml", type=click.Path(), default=None,
+                  help="also write PAGE XML here")
+    def serve(image_path, model, ocr_model, layout, xml):
+        """Run the full pipeline on one image and print its text."""
+        import PIL.Image
+        img = np.asarray(PIL.Image.open(image_path).convert("L"))
+        pipe = PagePipeline(segmentation_model=model,
+                            ocr_model=ocr_model, layout=layout,
+                            page_xml=xml is not None)
+        result = pipe.process(img, name=Path(image_path).stem)
+        if xml and result.page_xml:
+            Path(xml).write_bytes(result.page_xml)
+        click.echo(result.text)
+
+    serve()
+
+
+if __name__ == "__main__":
+    _main()
