@@ -96,7 +96,7 @@ def _sauvola_kernel(img_hbm, out_ref, scratch, sem, *,
                    static_argnames=("window", "block_h", "block_w",
                                     "interpret", "double_buffer"))
 def sauvola_pallas(image, window=15, k=0.2, r=128.0, block_h=128,
-                   block_w=512, interpret=False, double_buffer=False):
+                   block_w=512, interpret=False, double_buffer=True):
     """Fused Sauvola binarization. image (H, W) -> uint8 mask
     (1 = paper)."""
     img = image.astype(jnp.float32)
