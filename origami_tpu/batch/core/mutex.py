@@ -81,7 +81,10 @@ class DatabaseMutex:
             logging.exception("mutex schema creation failed")
 
     def clear_locks(self, age=0):
-        """Delete all locks (age=0) or locks older than `age` seconds."""
+        """Delete all locks (age=0) or locks older than `age` seconds;
+        locks held by dead local PIDs are reclaimed regardless of age
+        (reference behavior: dead worker slots pruned via psutil,
+        processor.py:99-107)."""
         def op():
             conn = self._connect()
             if age:
@@ -89,6 +92,28 @@ class DatabaseMutex:
                              (time.time() - age,))
             else:
                 conn.execute("DELETE FROM mutex")
+        _retry(op)
+        if age:
+            self._reclaim_dead()
+
+    def _reclaim_dead(self):
+        try:
+            import psutil
+        except ImportError:
+            return
+
+        def op():
+            conn = self._connect()
+            rows = list(conn.execute("SELECT path, processor, pid "
+                                     "FROM mutex"))
+            dead = [(p, proc, pid) for p, proc, pid in rows
+                    if not psutil.pid_exists(pid)]
+            if dead:
+                logging.warning("reclaiming %d locks of dead pids",
+                                len(dead))
+                conn.executemany(
+                    "DELETE FROM mutex WHERE path = ? AND "
+                    "processor = ? AND pid = ?", dead)
         _retry(op)
 
     def try_lock(self, processor, paths):

@@ -186,3 +186,37 @@ def test_compare_utility(tmp_path):
     oc = compare_ocr(tmp_path / "oa.zip", tmp_path / "ob.zip")
     assert 0 < oc["cer"] < 0.2
     assert oc["n_lines"] == 1
+
+
+def test_mutex_reclaims_dead_pids(tmp_path):
+    import sqlite3
+    import time as _time
+    from origami_tpu.batch.core.mutex import DatabaseMutex
+    m = DatabaseMutex(tmp_path / "lock.db")
+    assert m.try_lock("page", ["/a"])
+    # fake a lock held by a dead pid
+    conn = sqlite3.connect(str(tmp_path / "lock.db"))
+    conn.execute("INSERT INTO mutex VALUES (?, ?, ?, ?)",
+                 ("/b", "page", 999999999, _time.time()))
+    conn.commit()
+    conn.close()
+    m.clear_locks(age=3600)
+    held = {p for p, *_ in m.held()}
+    assert "/a" in held        # live pid's lock survives
+    assert "/b" not in held    # dead pid's lock reclaimed
+    m.unlock("page", ["/a"])
+    assert m.held() == []
+
+
+def test_mutex_basics(tmp_path):
+    from origami_tpu.batch.core.mutex import DatabaseMutex
+    m = DatabaseMutex(tmp_path / "l.db")
+    with m.lock("page", ["/x", "/y"]) as got:
+        assert got
+        # second claim on same paths fails
+        assert not m.try_lock("page", ["/x"])
+        # different processor may claim the same path
+        assert m.try_lock("other", ["/x"])
+        m.unlock("other", ["/x"])
+    assert m.try_lock("page", ["/x"])
+    m.unlock("page", ["/x"])
