@@ -37,6 +37,8 @@ class ContoursProcessor(Processor):
     @staticmethod
     def options(f):
         opts = [
+            click.option("--export-images", is_flag=True, default=False,
+                         help="Also store region crops in the zip."),
             click.option("--region-area", type=float, default=0.0025,
                          help="Ignore regions below this relative area."),
             click.option("--margin-distance", type=float, default=0.01,
@@ -85,9 +87,23 @@ class ContoursProcessor(Processor):
                         lambda label: pipe, list(pred.classes))
                     for cls, shapes in build(pred.labels).items():
                         for i, poly in enumerate(shapes):
+                            page_poly = to_page(poly)
                             zf.writestr(
                                 "%s/%s/%d.wkt" % (pred.name, cls.name, i),
-                                to_page(poly).wkt)
+                                page_poly.wkt)
+                            if opt.get("export_images"):
+                                import io as _io
+                                import PIL.Image
+                                from origami_tpu.core.mask import Mask
+                                crop, _pos = Mask(page_poly) \
+                                    .extract_image(page.warped)
+                                with _io.BytesIO() as buf:
+                                    PIL.Image.fromarray(crop).save(
+                                        buf, "png")
+                                    zf.writestr(
+                                        "%s/%s/%d.png"
+                                        % (pred.name, cls.name, i),
+                                        buf.getvalue())
                 else:
                     tol = label_geom.rel_length(
                         opt.get("separator_threshold", 4 / 1000))

@@ -407,3 +407,15 @@ def test_page_pipeline_api(synthetic_page):
     from lxml import etree
     root = etree.fromstring(result.page_xml)
     assert root.tag.endswith("PcGts")
+
+
+def test_contours_export_images(corpus):
+    _run_segment(corpus)
+    from origami_tpu.batch.detect.contours import ContoursProcessor
+    ContoursProcessor(dict(lock_strategy="NONE", plain=True,
+                           export_images=True)).traverse(corpus)
+    with zipfile.ZipFile(
+            corpus / "page0001.out" / "contours.0.zip") as zf:
+        pngs = [n for n in zf.namelist()
+                if n.startswith("regions/") and n.endswith(".png")]
+        assert pngs
