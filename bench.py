@@ -31,11 +31,18 @@ def main():
     n_models_per_net = 5
     batch = 4
 
-    model = unet_lib.create_unet(n_classes, width=1.0, s2d=2)
+    # the production pair (docs/performance.md): region nets s2d=4 with
+    # 128-multiple channels, separator nets s2d=2
+    region_model = unet_lib.create_unet(n_classes, width=2.0, s2d=4)
+    sep_model = unet_lib.create_unet(n_classes, width=1.0, s2d=2)
     rng = jax.random.PRNGKey(0)
-    params = unet_lib.init_unet(model, rng, (full_h, full_w))
-    stack = jax.tree.map(
-        lambda x: jnp.stack([x] * n_models_per_net), params)
+    region_params = unet_lib.init_unet(region_model, rng,
+                                       (full_h, full_w))
+    sep_params = unet_lib.init_unet(sep_model, rng, (full_h, full_w))
+    stack_a = jax.tree.map(
+        lambda x: jnp.stack([x] * n_models_per_net), region_params)
+    stack_b = jax.tree.map(
+        lambda x: jnp.stack([x] * n_models_per_net), sep_params)
 
     @jax.jit
     def segment(stack_a, stack_b, images):
@@ -46,11 +53,12 @@ def main():
             net_in = _resize(img, (full_h, full_w), "area") / 255.0
             x = net_in[None, ..., None]
 
-            def vote(stack):
+            def vote(model, stack):
                 probs = ensemble_apply(model, stack, x)
                 return jnp.argmax(probs[0], axis=-1).astype(jnp.uint8)
 
-            return vote(stack_a), vote(stack_b)
+            return (vote(region_model, stack_a),
+                    vote(sep_model, stack_b))
 
         return jax.lax.map(per_page, images)
 
@@ -61,13 +69,13 @@ def main():
     def fence(out):
         return float(out[0][0, 0, 0]) + float(out[1][-1, -1, -1])
 
-    fence(segment(stack, stack, pages0))   # compile + settle
+    fence(segment(stack_a, stack_b, pages0))   # compile + settle
 
     times = []
     for i in range(3):
         pages = pages0 + (i + 1)
         t0 = time.perf_counter()
-        fence(segment(stack, stack, pages))
+        fence(segment(stack_a, stack_b, pages))
         times.append(time.perf_counter() - t0)
     dt = min(times)
 

@@ -49,7 +49,9 @@ def _build(meta):
     if meta["kind"] == "unet":
         return create_unet(len(meta["classes"]),
                            width=meta.get("width", 1.0),
-                           s2d=meta.get("s2d", 1))
+                           s2d=meta.get("s2d", 1),
+                           features=meta.get("features"),
+                           bottleneck=meta.get("bottleneck"))
     if meta["kind"] == "recognizer":
         return create_recognizer(
             len(meta["charset"]),
@@ -102,21 +104,28 @@ def init_and_save(path, meta, seed=0):
 
 
 def default_segmentation_meta(kind="region", full_size=(1280, 2432),
-                              tile_size=None, width=1.0, s2d=2):
+                              tile_size=None, width=None, s2d=None):
     """The BBZ-compatible class contracts (reference
     origami/core/segment.py:97-135: 'regions' and 'separators' nets).
 
-    Defaults are the TPU-native design: space-to-depth stem and
-    single-shot full-page inference (tile_size None). The reference's
-    tiled geometry (full 1280x2400, tiles 1280x896) remains supported by
-    passing tile_size explicitly — tiling on TPU only matters for
+    Defaults are the TPU-native design: space-to-depth stem, single-shot
+    full-page inference (tile_size None), per-net geometry chosen from
+    v5e measurements (docs/performance.md): region nets run s2d=4 with
+    128-multiple channels (fastest at highest capacity — regions don't
+    need fine boundaries), separator nets s2d=2 (thin strokes need the
+    finer logit resolution). The reference's tiled geometry remains
+    supported via explicit tile_size — tiling on TPU only matters for
     training memory, not inference."""
     if kind == "region":
         classes = ["TEXT", "TABULAR", "ILLUSTRATION", "BACKGROUND"]
         t = "region"
+        s2d = 4 if s2d is None else s2d
+        width = 2.0 if width is None else width
     else:
         classes = ["H", "V", "T", "BACKGROUND"]
         t = "separator"
+        s2d = 2 if s2d is None else s2d
+        width = 1.0 if width is None else width
     meta = dict(
         kind="unet", type=t, classes=classes, background="BACKGROUND",
         full_size=list(full_size), tile_beta=50, width=width,

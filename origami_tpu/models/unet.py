@@ -85,17 +85,21 @@ class UNet(nn.Module):
         return logits
 
 
-def create_unet(num_classes, width=1.0, dtype=jnp.bfloat16, s2d=1):
-    if s2d > 1:
-        base_feats = (64, 128, 256)
-        base_bott = 512
-    else:
-        base_feats = (32, 64, 128, 256)
-        base_bott = 512
-    feats = tuple(max(8, int(round(f * width))) for f in base_feats)
-    bott = max(16, int(round(base_bott * width)))
-    return UNet(num_classes=num_classes, features=feats,
-                bottleneck=bott, dtype=dtype, s2d=s2d)
+def create_unet(num_classes, width=1.0, dtype=jnp.bfloat16, s2d=1,
+                features=None, bottleneck=None):
+    """Width scales the encoder features; explicit `features` /
+    `bottleneck` override (and are what model metas persist). MXU note:
+    128-multiple channel counts run at ~2.7x the utilization of 64-ch
+    stacks on v5e — prefer width >= 2 with an s2d stem."""
+    if features is None:
+        base_feats = (64, 128, 256) if s2d > 1 else (32, 64, 128, 256)
+        features = tuple(max(8, int(round(f * width)))
+                         for f in base_feats)
+    if bottleneck is None:
+        bottleneck = max(16, min(int(round(512 * width)), 512)) \
+            if s2d > 1 else max(16, int(round(512 * width)))
+    return UNet(num_classes=num_classes, features=tuple(features),
+                bottleneck=bottleneck, dtype=dtype, s2d=s2d)
 
 
 def init_unet(model, rng, tile_hw, in_channels=1):

@@ -96,7 +96,8 @@ def test_beam_search_matches_greedy_simple():
 
 def test_registry_roundtrip(tmp_path):
     meta = registry.default_segmentation_meta(
-        "region", full_size=(64, 96), tile_size=(64, 48), width=0.125)
+        "region", full_size=(64, 96), tile_size=(64, 48), width=0.125,
+        s2d=2)
     registry.init_and_save(tmp_path / "m1", meta)
     model, params, meta2 = registry.load_model(tmp_path / "m1")
     assert meta2["classes"] == ["TEXT", "TABULAR", "ILLUSTRATION", "BACKGROUND"]
