@@ -34,7 +34,7 @@ def test_train_then_segment(tmp_path, rng):
 
     # --- train one tiny region net on repeated synthetic tiles --------
     mesh = make_mesh(model_parallel=1)
-    cfg = TrainConfig(num_classes=4, width=0.25, tile_hw=(192, 128),
+    cfg = TrainConfig(num_classes=4, width=0.125, tile_hw=(192, 128),
                       steps=60, warmup=0, learning_rate=5e-3,
                       remat=False)
     trainer = SegmentationTrainer(cfg, mesh=mesh)
@@ -46,18 +46,18 @@ def test_train_then_segment(tmp_path, rng):
         batch_lab.append(reg)
     images = np.stack(batch_img).astype(np.float32)
     labels = np.stack(batch_lab).astype(np.int32)
-    losses = [trainer.train_step(images, labels) for _ in range(25)]
+    losses = [trainer.train_step(images, labels) for _ in range(12)]
     assert losses[-1] < losses[0]
 
     meta = registry.default_segmentation_meta(
-        "region", full_size=(128, 192), width=0.25, s2d=1)
+        "region", full_size=(128, 192), width=0.125, s2d=1)
     trainer.save(tmp_path / "models" / "region" / "1", meta)
 
     # a second (fresh) member to exercise the ensemble path
     registry.init_and_save(tmp_path / "models" / "region" / "2", meta,
                            seed=7)
     sep_meta = registry.default_segmentation_meta(
-        "separator", full_size=(128, 192), width=0.25, s2d=1)
+        "separator", full_size=(128, 192), width=0.125, s2d=1)
     registry.init_and_save(tmp_path / "models" / "separator" / "1",
                            sep_meta)
 
