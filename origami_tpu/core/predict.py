@@ -32,15 +32,18 @@ from origami_tpu.core.segment import Prediction, PredictorType, Segmentation
 
 class _EnsembleGraph:
     """One jit-compiled (resize -> tile -> ensemble -> stitch -> vote)
-    graph shared by all pages."""
+    graph shared by all pages. With a mesh, the page batch shards over
+    the "data" axis (shard_map) — each chip runs its local pages
+    sequentially, N chips run N pages concurrently."""
 
-    def __init__(self, model, params_stack, meta):
+    def __init__(self, model, params_stack, meta, mesh=None):
         import jax
         import jax.numpy as jnp
         from origami_tpu.ops.tiling import TileLayout
         from origami_tpu.ops.resize import resize as _resize
 
         self._meta = meta
+        self._mesh = mesh
         full_w, full_h = meta["full_size"]
         tile_w, tile_h = meta["tile_size"]
         layout = TileLayout((full_w, full_h), (tile_w, tile_h),
@@ -49,7 +52,7 @@ class _EnsembleGraph:
 
         from origami_tpu.models.unet import ensemble_apply
 
-        def run(images):
+        def run(params, images):
             # images: (B, H, W) float32 raw grayscale [0..255]; pages run
             # sequentially (lax.map) — each page's tile batch already
             # fills the chip, and vmapping pages would multiply peak
@@ -57,17 +60,44 @@ class _EnsembleGraph:
             def per_page(img):
                 net_in = _resize(img, (full_h, full_w), "area") / 255.0
                 tiles = layout.extract(net_in[..., None])   # (T, th, tw, 1)
-                probs = ensemble_apply(model, params_stack, tiles)
+                probs = ensemble_apply(model, params, tiles)
                 stitched = layout.stitch_logits(probs, n_classes)
                 return jnp.argmax(stitched, axis=-1).astype(jnp.uint8)
 
             return jax.lax.map(per_page, images)
 
-        self._run = jax.jit(run)
+        if mesh is None:
+            self._params = params_stack
+            self._run = jax.jit(run)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
+            self._params = jax.device_put(
+                params_stack, NamedSharding(mesh, P()))
+            sharded = shard_map(
+                run, mesh=mesh,
+                in_specs=(P(), P("data", None, None)),
+                out_specs=P("data", None, None))
+            self._run = jax.jit(sharded)
+            self._data_axis = mesh.shape["data"]
+            self._sharding = NamedSharding(mesh, P("data"))
 
     def __call__(self, images):
+        import jax
         import jax.numpy as jnp
-        return np.asarray(self._run(jnp.asarray(images, jnp.float32)))
+        images = np.asarray(images, np.float32)
+        pad = 0
+        if self._mesh is not None:
+            n = self._data_axis
+            pad = (-len(images)) % n
+            if pad:
+                images = np.concatenate(
+                    [images, np.repeat(images[-1:], pad, axis=0)])
+            x = jax.device_put(images, self._sharding)
+        else:
+            x = jnp.asarray(images)
+        out = np.asarray(self._run(self._params, x))
+        return out[: len(out) - pad] if pad else out
 
     @property
     def meta(self):
@@ -95,7 +125,7 @@ class SegmentationPredictor:
     {"region", "separator"} (reference used v3/blkx/... and v3/sep/...,
     origami/core/segment.py:97-135)."""
 
-    def __init__(self, models_path, target="quality"):
+    def __init__(self, models_path, target="quality", mesh=None):
         from origami_tpu.models import registry
         self._graphs = []
         models_path = Path(models_path)
@@ -112,7 +142,8 @@ class SegmentationPredictor:
                 members = members[:1]
             model, stacked, meta = registry.load_ensemble(members)
             meta = dict(meta, name=name)
-            self._graphs.append(_EnsembleGraph(model, stacked, meta))
+            self._graphs.append(
+                _EnsembleGraph(model, stacked, meta, mesh=mesh))
 
     def predict_batch(self, pages):
         """pages: list of (H, W) uint8 arrays -> list of Segmentation."""

@@ -120,9 +120,11 @@ def ensemble_apply(model, params_stack, tiles):
     (e.g. 23 GB for 5 full-size U-Nets on one v5e), while each model's
     convs already saturate the MXU on their own.
     """
-    n = jax.tree_util.tree_leaves(params_stack)[0].shape[0]
     K = model.num_classes
-    init = jnp.zeros(tiles.shape[:3] + (K,), jnp.float32)
+    # init must inherit the input's device-varying type or shard_map's
+    # varying-axes check rejects the scan carry
+    init = jnp.zeros(tiles.shape[:3] + (K,), jnp.float32) \
+        + 0.0 * tiles[..., :1].astype(jnp.float32)
 
     def body(acc, params):
         logits = model.apply({"params": params}, tiles)

@@ -52,3 +52,29 @@ def test_graft_entry_compiles():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_sharded_segmentation_inference(tmp_path):
+    """Page batch sharded over the mesh data axis through the ensemble
+    graph (shard_map) — multi-chip corpus streaming."""
+    import numpy as np
+    from origami_tpu.models import registry
+    from origami_tpu.parallel.mesh import make_mesh
+    from origami_tpu.core.predict import SegmentationPredictor
+
+    for kind, group in (("region", "region"), ("separator", "separator")):
+        meta = registry.default_segmentation_meta(
+            kind, full_size=(64, 96), width=0.125, s2d=2)
+        registry.init_and_save(tmp_path / group / "1", meta)
+
+    mesh = make_mesh(model_parallel=1)   # 8-way data
+    pred = SegmentationPredictor(tmp_path, target="speed", mesh=mesh)
+    rng = np.random.default_rng(0)
+    pages = [rng.integers(0, 255, (96, 64)).astype(np.uint8)
+             for _ in range(5)]   # 5 pages -> padded to 8 shards
+    segs = pred.predict_batch(pages)
+    assert len(segs) == 5
+    for seg in segs:
+        assert {p.name for p in seg.predictions} \
+            == {"regions", "separators"}
+        assert seg.by_name("regions").labels.shape == (96, 64)
