@@ -56,12 +56,15 @@ def gen(corpus, output, kind, labels_spec, full_width, full_height,
               default="region")
 @click.option("--steps", type=int, default=2000)
 @click.option("--batch-size", type=int, default=8)
-@click.option("--width", type=float, default=1.0)
+@click.option("--width", type=float, default=None,
+              help="feature width multiplier (defaults per kind)")
+@click.option("--s2d", type=int, default=None,
+              help="space-to-depth stem factor (defaults per kind)")
 @click.option("--learning-rate", type=float, default=3e-4)
 @click.option("--fold", type=int, default=0,
               help="validation fold to hold out")
 @click.option("--seed", type=int, default=0)
-def train(tiles_dir, output, kind, steps, batch_size, width,
+def train(tiles_dir, output, kind, steps, batch_size, width, s2d,
           learning_rate, fold, seed):
     """Train a segmentation U-Net on generated tiles."""
     import jax.numpy as jnp
@@ -89,7 +92,12 @@ def train(tiles_dir, output, kind, steps, batch_size, width,
         str(tiles_dir / (train_names[0] + ".png"))))
     tile_hw = probe.shape[:2]
 
-    cfg = TrainConfig(num_classes=len(codes), width=width,
+    # per-kind production defaults (docs/performance.md)
+    if s2d is None:
+        s2d = 4 if kind == "region" else 2
+    if width is None:
+        width = 2.0 if kind == "region" else 1.0
+    cfg = TrainConfig(num_classes=len(codes), width=width, s2d=s2d,
                       tile_hw=tile_hw, learning_rate=learning_rate,
                       steps=steps)
     trainer = SegmentationTrainer(cfg, mesh=make_mesh(), seed=seed)
@@ -110,7 +118,7 @@ def train(tiles_dir, output, kind, steps, batch_size, width,
         background="BACKGROUND", full_size=[probe.shape[1],
                                             probe.shape[0] * 2],
         tile_size=[probe.shape[1], probe.shape[0]], tile_beta=50,
-        width=width, channels=1, version=1)
+        width=width, s2d=s2d, channels=1, version=1)
     trainer.save(output, meta)
     print("saved model to %s" % output)
 

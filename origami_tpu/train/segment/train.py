@@ -28,6 +28,7 @@ from origami_tpu.parallel import sharding as sharding_lib
 class TrainConfig:
     num_classes: int = 4
     width: float = 1.0
+    s2d: int = 1
     tile_hw: tuple = (896, 1280)
     learning_rate: float = 3e-4
     weight_decay: float = 1e-4
@@ -74,7 +75,8 @@ class SegmentationTrainer:
     def __init__(self, cfg, mesh=None, seed=0):
         self.cfg = cfg
         self.mesh = mesh or mesh_lib.make_mesh()
-        self.model = unet_lib.create_unet(cfg.num_classes, width=cfg.width)
+        self.model = unet_lib.create_unet(cfg.num_classes,
+                                          width=cfg.width, s2d=cfg.s2d)
         params = unet_lib.init_unet(
             self.model, jax.random.PRNGKey(seed), cfg.tile_hw)
         self.optimizer = make_optimizer(cfg)
