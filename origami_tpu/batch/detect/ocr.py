@@ -34,7 +34,7 @@ class FakePredictor:
 class RecognizerPredictor:
     """One or more stacked recognizer models with greedy / voted decode."""
 
-    def __init__(self, model_paths, batch_size=32):
+    def __init__(self, model_paths, batch_size=128):
         import jax
         import jax.numpy as jnp
         from origami_tpu.models import registry, ctc
@@ -157,7 +157,7 @@ class OCRProcessor(BatchedProcessor):
                         "no recognizer models at %s" % path)
                 self._predictor = RecognizerPredictor(
                     members,
-                    batch_size=self._opt.get("batch_size", 32))
+                    batch_size=self._opt.get("batch_size", 128))
         return self._predictor
 
     def process_batch(self, pages):
@@ -199,7 +199,7 @@ class OCRProcessor(BatchedProcessor):
 @click.option("-m", "--model", type=str, default="FAKE",
               help="recognizer model dir (or ensemble parent dir), "
                    "FAKE, or DRY")
-@click.option("-b", "--batch-size", type=int, default=32)
+@click.option("-b", "--batch-size", type=int, default=128)
 @click.option("--ignored", type=str, default="regions/ILLUSTRATION")
 @click.argument("data_path", type=click.Path(exists=True), required=True)
 @Processor.options
