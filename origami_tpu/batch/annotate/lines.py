@@ -8,6 +8,8 @@ from pathlib import Path
 import click
 import numpy as np
 
+from origami_tpu import geometry as G
+
 from origami_tpu.batch.core.processor import Processor
 from origami_tpu.batch.core.io import (
     Annotation, Artifact, Input, Output, Stage)
@@ -44,10 +46,8 @@ class AnnotateLinesProcessor(Processor):
             color = _confidence_color(line.confidence)
             draw_geometry(canvas, line.image_space_polygon, color,
                           thickness=1, fill_alpha=0.25)
-            draw_geometry(
-                canvas,
-                __import__("origami_tpu.geometry", fromlist=["G"])
-                .LineString(line.baseline), (255, 100, 0), thickness=1)
+            draw_geometry(canvas, G.LineString(line.baseline),
+                          (255, 100, 0), thickness=1)
         output.annotation(AnnotateWriter(canvas))
 
 

@@ -44,7 +44,7 @@ def resize(image, out_hw, method="area"):
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+@functools.partial(jax.jit, static_argnums=(1, 2))
 def resize_batch(images, out_hw, method="area"):
     """Resize a batch (N, H, W[, C]) on device with one vmapped graph."""
     return jax.vmap(lambda im: resize(im, out_hw, method))(images)
