@@ -29,7 +29,8 @@ def test_unet_ensemble_vote():
 
 
 def test_recognizer_shapes():
-    model = recognizer.create_recognizer(20)
+    model = recognizer.create_recognizer(
+        20, conv_features=(16, 32, 48), lstm_features=48)
     params = recognizer.init_recognizer(model, jax.random.PRNGKey(0),
                                         height=48, width=128)
     x = jnp.zeros((2, 48, 128, 1))
@@ -59,7 +60,8 @@ def test_ctc_greedy_decode():
 
 def test_ctc_loss_decreases():
     import optax
-    model = recognizer.create_recognizer(5)
+    model = recognizer.create_recognizer(
+        5, conv_features=(16, 32, 48), lstm_features=48)
     params = recognizer.init_recognizer(model, jax.random.PRNGKey(0),
                                         height=32, width=64)
     x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 64, 1))

@@ -80,7 +80,8 @@ def test_recognizer_trainer_learns():
     from origami_tpu.train.ocr.train import (
         RecognizerTrainer, OCRTrainConfig, encode_labels)
     cfg = OCRTrainConfig(num_symbols=5, height=32, steps=20, warmup=0,
-                         learning_rate=3e-3)
+                         learning_rate=3e-3,
+                         conv_features=(16, 32, 48), lstm_features=48)
     tr = RecognizerTrainer(cfg, mesh=make_mesh(model_parallel=1))
     rng = np.random.default_rng(0)
     x = rng.random((4, 32, 64, 1)).astype(np.float32)
