@@ -32,9 +32,14 @@ class FakePredictor:
 
 
 class RecognizerPredictor:
-    """One or more stacked recognizer models with greedy / voted decode."""
+    """One or more stacked recognizer models with greedy / voted decode.
 
-    def __init__(self, model_paths, batch_size=128):
+    decoder="greedy" decodes on device; "beam" runs a host prefix beam
+    search over the (ensemble-averaged) per-frame distributions — the
+    Calamari-style voting quality mode."""
+
+    def __init__(self, model_paths, batch_size=128, decoder="greedy",
+                 beam_width=10):
         import jax
         import jax.numpy as jnp
         from origami_tpu.models import registry, ctc
@@ -54,6 +59,8 @@ class RecognizerPredictor:
             self._params = models[0][1]
         self._ctc = ctc
         self._width_buckets = width_buckets
+        self._decoder = decoder
+        self._beam_width = beam_width
 
         module = self._module
 
@@ -103,14 +110,29 @@ class RecognizerPredictor:
                 else:
                     logits, pad = self._infer(
                         self._params, jnp.asarray(x), jnp.asarray(w))
-                ids, lengths, conf = self._ctc.greedy_decode(logits, pad)
-                ids = np.asarray(ids)
-                lengths = np.asarray(lengths)
-                conf = np.asarray(conf)
-                for j, i in enumerate(part):
-                    texts[i] = self._ctc.ids_to_text(
-                        ids[j], lengths[j], self._charset)
-                    confs[i] = float(conf[j])
+                if self._decoder == "beam":
+                    import jax
+                    logp = np.asarray(
+                        jax.nn.log_softmax(logits, axis=-1))
+                    pad_np = np.asarray(pad)
+                    for j, i in enumerate(part):
+                        T = int((pad_np[j] < 0.5).sum())
+                        text, score = self._ctc.beam_search_decode(
+                            logp[j, :T], self._charset,
+                            beam_width=self._beam_width)
+                        texts[i] = text
+                        confs[i] = float(np.exp(
+                            score / max(len(text), 1)))
+                else:
+                    ids, lengths, conf = self._ctc.greedy_decode(
+                        logits, pad)
+                    ids = np.asarray(ids)
+                    lengths = np.asarray(lengths)
+                    conf = np.asarray(conf)
+                    for j, i in enumerate(part):
+                        texts[i] = self._ctc.ids_to_text(
+                            ids[j], lengths[j], self._charset)
+                        confs[i] = float(conf[j])
         return texts, confs
 
 
@@ -157,7 +179,9 @@ class OCRProcessor(BatchedProcessor):
                         "no recognizer models at %s" % path)
                 self._predictor = RecognizerPredictor(
                     members,
-                    batch_size=self._opt.get("batch_size", 128))
+                    batch_size=self._opt.get("batch_size", 128),
+                    decoder=self._opt.get("decoder", "greedy"),
+                    beam_width=self._opt.get("beam_width", 10))
         return self._predictor
 
     def process_batch(self, pages):
@@ -200,6 +224,10 @@ class OCRProcessor(BatchedProcessor):
               help="recognizer model dir (or ensemble parent dir), "
                    "FAKE, or DRY")
 @click.option("-b", "--batch-size", type=int, default=128)
+@click.option("--decoder", type=click.Choice(["greedy", "beam"]),
+              default="greedy",
+              help="device greedy decode vs host prefix beam search")
+@click.option("--beam-width", type=int, default=10)
 @click.option("--ignored", type=str, default="regions/ILLUSTRATION")
 @click.argument("data_path", type=click.Path(exists=True), required=True)
 @Processor.options

@@ -120,3 +120,22 @@ def test_width_buckets():
     b = recognizer.width_buckets([100, 300, 2000, 5000])
     assert b[0] >= 100 and b[1] >= 300 and b[3] == 2048
     assert all(x % 4 == 0 for x in b)
+
+
+def test_recognizer_predictor_beam(tmp_path):
+    """RecognizerPredictor end to end with the beam decoder."""
+    from origami_tpu.models import registry
+    from origami_tpu.batch.detect.ocr import RecognizerPredictor
+    meta = dict(kind="recognizer", charset="abcd", height=16,
+                conv_features=[16, 32, 48], lstm_features=48, version=1)
+    registry.init_and_save(tmp_path / "m", meta)
+    pred = RecognizerPredictor([tmp_path / "m"], decoder="beam",
+                               beam_width=4)
+    rng = np.random.default_rng(0)
+    strips = [(("regions", "TEXT", "0", str(i)),
+               (rng.random((16, 64)) * 255).astype(np.uint8))
+              for i in range(3)]
+    texts, confs = pred.predict(strips)
+    assert len(texts) == 3
+    assert all(isinstance(t, str) for t in texts)
+    assert all(0 <= c <= 1.001 for c in confs)
