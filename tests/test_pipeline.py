@@ -419,3 +419,48 @@ def test_contours_export_images(corpus):
         pngs = [n for n in zf.namelist()
                 if n.startswith("regions/") and n.endswith(".png")]
         assert pngs
+
+
+def test_foreign_segment_zip_interop(corpus):
+    """A segment.zip built by hand exactly per the reference format
+    (paletted PNG + class JSON, different canvas size than the page)
+    feeds our contours stage — cross-system artifact interop."""
+    import io as _io
+    out = corpus / "page0001.out"
+    out.mkdir(exist_ok=True)
+    # label canvas at half the page size (consumers must rescale)
+    lab = np.full((300, 200), 3, np.uint8)
+    lab[20:120, 20:80] = 0          # TEXT block
+    lab[20:260, 100:102] = 1        # V separator (in sep png below)
+    sep = np.full((300, 200), 3, np.uint8)
+    sep[20:260, 100:102] = 1
+    with zipfile.ZipFile(out / "segment.zip", "w") as zf:
+        for name, arr, typ, classes in (
+                ("regions", lab, "REGION",
+                 {"TEXT": 0, "TABULAR": 1, "ILLUSTRATION": 2,
+                  "BACKGROUND": 3}),
+                ("separators", sep, "SEPARATOR",
+                 {"H": 0, "V": 1, "T": 2, "BACKGROUND": 3})):
+            im = PIL.Image.fromarray(arr, "P")
+            pal = [0] * 768
+            pal[:12] = [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+            im.putpalette(pal)
+            with __import__("io").BytesIO() as buf:
+                im.save(buf, "png")
+                zf.writestr(name + ".png", buf.getvalue())
+            zf.writestr(name + ".json", json.dumps(
+                dict(type=typ, name=name, classes=classes)))
+
+    from origami_tpu.batch.detect.contours import ContoursProcessor
+    ContoursProcessor(dict(lock_strategy="NONE", plain=True)) \
+        .traverse(corpus)
+    from origami_tpu.batch.core.io import read_contours_zip
+    from origami_tpu.core.segment import PredictorType
+    items, _ = read_contours_zip(out / "contours.0.zip",
+                                 PredictorType.REGION)
+    text = [g for parts, g in items if parts[1] == "TEXT"]
+    assert len(text) == 1
+    # label-space (20..80, 20..120) scaled x2 to the 400x600 page
+    minx, miny, maxx, maxy = text[0].bounds
+    assert 30 < minx < 50 and 150 < maxx < 170
+    assert 30 < miny < 50 and 230 < maxy < 250
