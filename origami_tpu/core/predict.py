@@ -71,7 +71,7 @@ class _EnsembleGraph:
             self._run = jax.jit(run)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             self._params = jax.device_put(
                 params_stack, NamedSharding(mesh, P()))
             sharded = shard_map(

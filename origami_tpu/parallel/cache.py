@@ -14,8 +14,23 @@ from pathlib import Path
 _DONE = False
 
 
+def apply_platform_override():
+    """Honor ORIGAMI_TPU_PLATFORM=cpu|tpu|axon: some TPU plugins (axon)
+    override JAX_PLATFORMS programmatically, so an env var the runtime
+    applies via jax.config is the only reliable user-side switch."""
+    want = os.environ.get("ORIGAMI_TPU_PLATFORM")
+    if not want:
+        return
+    try:
+        import jax
+        jax.config.update("jax_platforms", want)
+    except Exception:
+        pass
+
+
 def ensure_compilation_cache(cache_dir=None):
     global _DONE
+    apply_platform_override()
     if _DONE or os.environ.get("ORIGAMI_TPU_NO_COMPILE_CACHE") == "1":
         return
     _DONE = True
