@@ -513,6 +513,10 @@ class BatchedProcessor(Processor):
         with self._mutex.lock(actor,
                               [str(p) for _, p, _ in chunk]) as locked:
             if not locked:
+                logging.warning(
+                    "batch of %d pages is locked elsewhere; skipping "
+                    "(stale locks? see utils.cleanup / --max-lock-age)",
+                    len(chunk))
                 return
             ready = [(p, kw) for _, p, kw in chunk
                      if all(f.is_ready() for f in kw.values()
