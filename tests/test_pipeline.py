@@ -464,3 +464,14 @@ def test_foreign_segment_zip_interop(corpus):
     minx, miny, maxx, maxy = text[0].bounds
     assert 30 < minx < 50 and 150 < maxx < 170
     assert 30 < miny < 50 and 230 < maxy < 250
+
+
+def test_page_pipeline_batch(synthetic_page):
+    from origami_tpu.pipeline import PagePipeline
+    pipe = PagePipeline(segmentation_model="heuristic",
+                        ocr_model="FAKE", page_xml=False)
+    results = pipe.process_batch(
+        [synthetic_page, synthetic_page], names=["a", "b"])
+    assert len(results) == 2
+    assert results[0].text == results[1].text
+    assert "text for " in results[0].text
