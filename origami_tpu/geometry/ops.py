@@ -111,19 +111,14 @@ def contains(a, b):
         d = _points_to_segments_dist(pts[outside], _segments_of(a))
         if len(d) and (d.min(axis=1) > 1e-6).any():
             return False
-    # no boundary crossings allowed
+    # no boundary crossings allowed: where b's edges intersect a's
+    # boundary, tolerate touching but reject passing outside — checked
+    # by sampling b's segment midpoints (inside-or-on required)
     sb = _segments_of(b)
     sa = _segments_of(a)
     if len(sb) and len(sa):
-        pts_x, ia, ib = _seg_intersections(sa, sb)
+        pts_x, _, _ = _seg_intersections(sa, sb)
         if len(pts_x):
-            # crossings exactly at shared/boundary points are tolerated
-            d = _points_to_segments_dist(pts_x, sa)
-            interior_cross = False
-            for k in range(len(pts_x)):
-                # check whether segment of b actually passes to the outside
-                pass
-            # sample midpoints of b's segments: all must be inside-or-on
             mids = (sb[:, :2] + sb[:, 2:]) * 0.5
             ok = _contains_points(a, mids)
             if not ok.all():
