@@ -220,3 +220,25 @@ def test_mutex_basics(tmp_path):
         m.unlock("other", ["/x"])
     assert m.try_lock("page", ["/x"])
     m.unlock("page", ["/x"])
+
+
+def test_remote_task_db(tmp_path):
+    from origami_tpu.batch.remote.runner import (
+        TaskDB, file_digest, signature)
+    db = TaskDB(tmp_path / "tasks.db")
+    assert db.status("p1.png") is None
+    db.mark("p1.png", "RUNNING")
+    assert db.status("p1.png") == "RUNNING"
+    db.mark("p1.png", "DONE", "sig123")
+    assert db.status("p1.png") == "DONE"
+    # resume: a second TaskDB sees the state
+    db2 = TaskDB(tmp_path / "tasks.db")
+    assert db2.status("p1.png") == "DONE"
+
+    f = tmp_path / "x.bin"
+    f.write_bytes(b"hello world")
+    d1 = file_digest(f)
+    assert len(d1) == 64
+    s1 = signature(f)
+    f.write_bytes(b"hello world!")
+    assert signature(f) != s1
