@@ -185,3 +185,58 @@ def test_make_valid_bowtie():
     fixed = G.make_valid(bow)
     assert not fixed.is_empty
     assert fixed.area == pytest.approx(50, rel=0.1)
+
+
+def test_degenerate_inputs():
+    """Degenerate geometries must not crash overlay/predicate code —
+    the layout stage feeds sliver contours through these paths."""
+    from origami_tpu.geometry import (
+        LineString, MultiPolygon, Point, Polygon)
+
+    # collinear "polygon" (zero area)
+    sliver = Polygon([(0, 0), (10, 0), (5, 0)])
+    assert sliver.area == 0
+    box = Polygon([(0, -1), (10, -1), (10, 1), (0, 1)])
+    inter = sliver.intersection(box)
+    assert inter.area == 0
+
+    # zero-length linestring
+    dot = LineString([(3, 3), (3, 3)])
+    assert dot.length == 0
+    assert box.intersection(dot) is not None
+
+    # empty result propagation
+    far = Polygon([(100, 100), (110, 100), (110, 110), (100, 110)])
+    empty = box.intersection(far)
+    assert empty.is_empty
+    assert empty.area == 0
+    assert not empty.intersects(box)
+    assert empty.union(box).area == pytest.approx(box.area, rel=1e-6)
+
+    # point predicates on boundary-ish coordinates
+    assert box.contains(Point(5, 0))
+    assert not box.contains(Point(50, 0))
+
+    # buffering a degenerate geometry still yields usable area
+    grown = sliver.buffer(1.0)
+    assert grown.area > 0
+
+    mp = MultiPolygon([box, far])
+    assert mp.area == pytest.approx(box.area + far.area, rel=1e-6)
+
+
+def test_tiny_and_single_point_geoms():
+    from origami_tpu.geometry import LineString, Polygon
+
+    # sub-pixel polygon survives the raster overlay path; raster
+    # booleans discretize at union-bounds scale, so only ask for the
+    # right order of magnitude here (real inputs are page-pixel scale)
+    tiny = Polygon([(0, 0), (0.3, 0), (0.3, 0.3), (0, 0.3)])
+    big = Polygon([(-1, -1), (2, -1), (2, 2), (-1, 2)])
+    inter = tiny.intersection(big)
+    assert inter.area == pytest.approx(tiny.area, rel=0.5)
+
+    # single-segment line clipping at exact corner
+    line = LineString([(0, 0), (2, 2)])
+    clipped = big.intersection(line)
+    assert clipped.length == pytest.approx(line.length, rel=1e-6)
