@@ -82,11 +82,18 @@ def estimate_skew(ink, max_angle=0.12, n_angles=25):
     flat_ink = ink.reshape(-1)
     row_idx = np.repeat(rows, w)
     col_idx = np.tile(np.arange(w), h)
-    for a in np.linspace(-max_angle, max_angle, n_angles):
+    # score every candidate over the SAME profile length: variance over
+    # per-angle-sized bincounts is biased toward larger shears (more
+    # zero bins), which systematically picked one grid step off zero
+    span = int(np.ceil(np.tan(max_angle) * (w / 2.0))) + 1
+    length = h + 2 * span
+    # visit candidates by increasing |angle| so score ties (common after
+    # decimation, where neighboring shears round to identical shifts)
+    # resolve toward zero skew instead of the most negative candidate
+    for a in sorted(np.linspace(-max_angle, max_angle, n_angles), key=abs):
         shift = np.round(np.tan(a) * xs).astype(np.int64)
-        yi = row_idx + shift[col_idx]
-        yi -= yi.min()
-        prof = np.bincount(yi, weights=flat_ink)
+        yi = row_idx + shift[col_idx] + span
+        prof = np.bincount(yi, weights=flat_ink, minlength=length)
         s = prof.var()
         if s > best_s:
             best_s, best_a = s, a
@@ -110,10 +117,12 @@ def detect_baselines(crop_binarized, origin=(0, 0), min_line_height=4,
     tan_a = math.tan(angle)
     xs = np.arange(w) - w / 2.0
     shift = tan_a * xs
+    # integer per-column shear shift; round(r + shift) == r + round(shift)
+    # for integer r, so band membership reduces to a per-column row range
+    rs = np.round(shift).astype(np.int64)
 
     # sheared row profile
-    ys = np.arange(h)[:, None] + shift[None, :]
-    yi = np.clip(np.round(ys).astype(int), 0, h - 1)
+    yi = np.clip(np.arange(h)[:, None] + rs[None, :], 0, h - 1)
     prof = np.bincount(yi.reshape(-1), weights=ink.reshape(-1),
                        minlength=h)[:h]
     sm = _smooth(prof, 3)
@@ -147,13 +156,22 @@ def detect_baselines(crop_binarized, origin=(0, 0), min_line_height=4,
     if not bands:
         return [_fake_line(origin, w, h)] if force_one else []
 
+    # one-time prefix structures: each band then costs O(w) instead of
+    # rebuilding an (h, w) mask per detected line (35 lines per column
+    # block made this the hottest host loop in the lines stage)
+    col_arange = np.arange(w)
+    cum0 = np.zeros((h + 1, w), np.float32)
+    np.cumsum(ink, axis=0, out=cum0[1:])        # cum0[r] = sum of rows < r
+    rows_or_neg = np.where(ink > 0, np.arange(h)[:, None], -1)
+    last_ink = np.maximum.accumulate(rows_or_neg, axis=0)
+
     out = []
-    cos_a = math.cos(angle)
-    sin_a = math.sin(angle)
     for y0, y1 in bands:
-        # per-column ink inside the sheared band
-        band_rows = (yi >= y0) & (yi < y1)
-        col_ink = (ink * band_rows).sum(axis=0)
+        # per-column row range of the sheared band: profile row
+        # p = r + rs[c]  =>  r in [y0 - rs, y1 - rs), clipped to the crop
+        r0 = np.clip(y0 - rs, 0, h)
+        r1 = np.clip(y1 - rs, 0, h)
+        col_ink = cum0[r1, col_arange] - cum0[r0, col_arange]
         cols = np.nonzero(col_ink > 0)[0]
         if len(cols) < 2:
             continue
@@ -161,14 +179,13 @@ def detect_baselines(crop_binarized, origin=(0, 0), min_line_height=4,
 
         # baseline: high quantile of per-column lowest ink position, in
         # profile (sheared) space: profile row = y_img + shift(x)
-        sub = ink[:, x0:x1] * band_rows[:, x0:x1]
-        ys_grid = np.arange(h)[:, None]
-        has = sub.sum(axis=0) > 0
+        li = last_ink[np.maximum(r1 - 1, 0), col_arange]  # last ink row < r1
+        has = (col_ink > 0) & (li >= r0) & (r1 > r0)
+        has = has[x0:x1]
         if not has.any():
             continue
-        lowest = np.where(sub > 0, ys_grid + shift[None, x0:x1], -1e9) \
-            .max(axis=0)
-        base_y = float(np.quantile(lowest[has], 0.85))
+        lowest = (li[x0:x1] + shift[x0:x1])[has]
+        base_y = float(np.quantile(lowest, 0.85))
         band_h = max(float(y1 - y0), min_line_height)
         descent = max(0.0, min(0.35 * band_h, y1 - base_y))
         ascent = max(base_y - y0, min_line_height * 0.5)

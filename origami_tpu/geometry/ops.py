@@ -194,6 +194,13 @@ def overlay(a, b, op):
     if ta in _PUNCTUAL or tb in _PUNCTUAL:
         return _point_overlay(a, b, op)
 
+    # convex x convex intersection — exact Sutherland-Hodgman clipping
+    # (the lines stage clips thousands of line rectangles against text
+    # areas; skipping the raster path there is a large host-time win)
+    if op == "and" and ta == "Polygon" and tb == "Polygon" \
+            and _poly_convex(a) and _poly_convex(b):
+        return _convex_clip(a, b)
+
     # areal x areal — raster
     if ta in _AREAL and tb in _AREAL:
         return _raster.raster_overlay(a, b, op)
@@ -211,6 +218,69 @@ def overlay(a, b, op):
     if op == "diff" and ta in _LINEAL and tb in _AREAL:
         return _clip_line_outside_polygon(a, b)
     return _raster.raster_overlay(a, b, op)
+
+
+def _is_convex_ring(c):
+    """True iff the open ring (n, 2) is convex (collinear points ok)."""
+    if len(c) < 3:
+        return False
+    e = np.roll(c, -1, axis=0) - c
+    f = np.roll(e, -1, axis=0)
+    cr = e[:, 0] * f[:, 1] - e[:, 1] * f[:, 0]
+    scale = max(float(np.abs(cr).max()), 1.0)
+    pos = (cr > 1e-9 * scale).any()
+    neg = (cr < -1e-9 * scale).any()
+    return not (pos and neg)
+
+
+def _poly_convex(p):
+    memo = getattr(p, "_convex_memo", None)
+    if memo is None:
+        memo = (not p._holes) and _is_convex_ring(p._shell)
+        p._convex_memo = memo
+    return memo
+
+
+def _convex_clip(a, b):
+    """Exact intersection of two convex hole-free polygons via
+    Sutherland-Hodgman clipping of a's shell by b's edges. Result is a
+    convex Polygon (or empty)."""
+    clip = b._shell
+    x, y = clip[:, 0], clip[:, 1]
+    area2 = float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    if abs(area2) < 1e-12:
+        return GEOMETRY_EMPTY
+    if area2 < 0:               # need CCW so "inside" = left of each edge
+        clip = clip[::-1]
+    out = a._shell
+    eps = 1e-12
+    for i in range(len(clip)):
+        n = len(out)
+        if n == 0:
+            break
+        p1 = clip[i]
+        p2 = clip[(i + 1) % len(clip)]
+        ex, ey = p2[0] - p1[0], p2[1] - p1[1]
+        d = ex * (out[:, 1] - p1[1]) - ey * (out[:, 0] - p1[0])
+        nxt = np.roll(out, -1, axis=0)
+        d2 = np.roll(d, -1)
+        keep = []
+        for j in range(n):
+            if d[j] >= -eps:
+                keep.append(out[j])
+            if (d[j] >= -eps) != (d2[j] >= -eps):
+                t = d[j] / (d[j] - d2[j])
+                keep.append(out[j] + t * (nxt[j] - out[j]))
+        out = np.asarray(keep) if keep else np.zeros((0, 2))
+    if len(out) >= 3:
+        # drop near-duplicate consecutive vertices
+        dup = np.linalg.norm(out - np.roll(out, 1, axis=0), axis=1) < 1e-9
+        out = out[~dup]
+    if len(out) < 3:
+        return GEOMETRY_EMPTY
+    poly = Polygon(out)
+    poly._convex_memo = True
+    return GEOMETRY_EMPTY if poly.area < 1e-12 else poly
 
 
 def _point_overlay(a, b, op):

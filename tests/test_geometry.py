@@ -240,3 +240,38 @@ def test_tiny_and_single_point_geoms():
     line = LineString([(0, 0), (2, 2)])
     clipped = big.intersection(line)
     assert clipped.length == pytest.approx(line.length, rel=1e-6)
+
+
+def test_convex_clip_exact():
+    """Convex x convex intersections take the exact Sutherland-Hodgman
+    path; verify against Monte Carlo ground truth (the raster fallback
+    overestimates by its half-pixel outward offset)."""
+    rng = np.random.default_rng(7)
+    tested = 0
+    for _ in range(40):
+        a = G.MultiPoint(rng.random((6, 2)) * 100).convex_hull
+        b = G.MultiPoint(rng.random((6, 2)) * 100).convex_hull
+        if a.geom_type != "Polygon" or b.geom_type != "Polygon":
+            continue
+        inter = a.intersection(b)
+        area = 0.0 if inter.is_empty else inter.area
+        pts = rng.random((120000, 2)) * 100
+        mc = (a.contains_points(pts) & b.contains_points(pts)).mean() * 1e4
+        assert area == pytest.approx(mc, abs=max(0.02 * mc, 2.0))
+        if not inter.is_empty:
+            # result is itself convex and inside both inputs
+            assert inter.area <= min(a.area, b.area) + 1e-6
+            tested += 1
+    assert tested > 20
+
+
+def test_convex_clip_disjoint_and_contained():
+    a = G.box(0, 0, 10, 10)
+    assert a.intersection(G.box(20, 20, 30, 30)).is_empty
+    inner = G.box(2, 2, 5, 5)
+    r = a.intersection(inner)
+    assert r.area == pytest.approx(9.0, abs=1e-9)
+    # shared edge only -> empty or zero area
+    edge = G.box(10, 0, 20, 10)
+    r2 = a.intersection(edge)
+    assert r2.is_empty or r2.area < 1e-6
