@@ -78,26 +78,38 @@ def estimate_skew(ink, max_angle=0.12, n_angles=25):
         h, w = ink.shape
     xs = np.arange(w) - w / 2.0
     rows = np.arange(h)
-    best_a, best_s = 0.0, -1.0
-    flat_ink = ink.reshape(-1)
-    row_idx = np.repeat(rows, w)
-    col_idx = np.tile(np.arange(w), h)
     # score every candidate over the SAME profile length: variance over
-    # per-angle-sized bincounts is biased toward larger shears (more
+    # per-angle-sized profiles is biased toward larger shears (more
     # zero bins), which systematically picked one grid step off zero
     span = int(np.ceil(np.tan(max_angle) * (w / 2.0))) + 1
     length = h + 2 * span
-    # visit candidates by increasing |angle| so score ties (common after
+    # candidates by increasing |angle| so score ties (common after
     # decimation, where neighboring shears round to identical shifts)
     # resolve toward zero skew instead of the most negative candidate
-    for a in sorted(np.linspace(-max_angle, max_angle, n_angles), key=abs):
+    angles = np.linspace(-max_angle, max_angle, n_angles)
+    angles = angles[np.argsort(np.abs(angles), kind="stable")]
+    # the rounded shift is a monotone step function of the column, so
+    # columns group into <= 2*span+1 runs per angle; one column-prefix
+    # sum turns each run's row profile into two lookups — O(#runs * h)
+    # per angle instead of O(h * w)
+    cum = np.concatenate(
+        [np.zeros((h, 1), ink.dtype), np.cumsum(ink, axis=1)], axis=1)
+    best_a, best_s = 0.0, -1.0
+    prof = np.empty(length, np.float64)
+    for a in angles:
         shift = np.round(np.tan(a) * xs).astype(np.int64)
-        yi = row_idx + shift[col_idx] + span
-        prof = np.bincount(yi, weights=flat_ink, minlength=length)
-        s = prof.var()
-        if s > best_s:
-            best_s, best_a = s, a
-    return float(best_a)
+        change = np.flatnonzero(np.diff(shift)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [w]))
+        prof[:] = 0.0
+        for c0, c1 in zip(starts, ends):
+            s = int(shift[c0]) + span
+            prof[s:s + h] += cum[:, c1]
+            prof[s:s + h] -= cum[:, c0]
+        sc = prof.var()
+        if sc > best_s:
+            best_s, best_a = sc, float(a)
+    return best_a
 
 
 def detect_baselines(crop_binarized, origin=(0, 0), min_line_height=4,

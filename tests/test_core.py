@@ -299,3 +299,32 @@ def test_border_angle_samples():
     # left border slope 0.1 -> angle ~ atan2(dy=1, dx=0.1) ~ 1.47 rad
     med = float(np.median(left))
     assert abs(med - np.arctan2(1.0, 0.1)) < 0.08
+
+
+def test_estimate_skew_sign_and_ties():
+    """estimate_skew returns the straightening shear (negated text
+    slope); ties after decimation must resolve to zero, not one grid
+    step off (regression: horizontal pages came out at -0.01)."""
+    import numpy as np
+    from origami_tpu.core.baselines import estimate_skew
+
+    rng = np.random.default_rng(1)
+    for true_a in (-0.08, 0.0, 0.02, 0.1):
+        h, w = 900, 300
+        ink = np.zeros((h, w), np.float32)
+        for i in range(20):
+            y = 30 + i * 42
+            ink[y:y + 20, 20:280] = rng.random((20, 260)) < 0.7
+        out = np.zeros_like(ink)
+        for c in range(w):
+            s = int(round(np.tan(true_a) * (c - w / 2)))
+            out[:, c] = np.roll(ink[:, c], s)
+        est = estimate_skew(out)
+        assert abs(est + true_a) <= 0.011, (true_a, est)
+
+    # large horizontal crop (hits the decimation path): exactly zero
+    big = np.zeros((2000, 400), np.float32)
+    for i in range(38):
+        big[40 + i * 50:60 + i * 50, 30:370] = \
+            rng.random((20, 340)) < 0.75
+    assert estimate_skew(big) == 0.0
