@@ -3,8 +3,8 @@
 Measures the dominant compute of the reference pipeline — full-quality
 ensemble page segmentation (2 predictors x 5-model softmax-sum voting,
 reference origami/core/segment.py:97-135) — with the TPU-native model
-design: space-to-depth U-Net, single-shot full-page inference at the
-1280x2432 canvas, models evaluated via lax.scan accumulation.
+design defined once in origami_tpu.models.flagship (the same graph the
+driver compile-checks via __graft_entry__.entry).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the north-star target of 10 pages/sec/chip (BASELINE.md).
@@ -16,55 +16,14 @@ timing materializes scalars from results and perturbs inputs.
 import json
 import time
 
-import numpy as np
-
 
 def main():
     import jax
-    import jax.numpy as jnp
-    from origami_tpu.models import unet as unet_lib
-    from origami_tpu.models.unet import ensemble_apply
-    from origami_tpu.ops.resize import resize as _resize
+    from origami_tpu.models.flagship import build_flagship
 
-    full_w, full_h = 1280, 2432
-    n_classes = 4
-    n_models_per_net = 5
     batch = 4
-
-    # the production pair (docs/performance.md): region nets s2d=4 with
-    # 128-multiple channels, separator nets s2d=2
-    region_model = unet_lib.create_unet(n_classes, width=2.0, s2d=4)
-    sep_model = unet_lib.create_unet(n_classes, width=1.0, s2d=2)
-    rng = jax.random.PRNGKey(0)
-    region_params = unet_lib.init_unet(region_model, rng,
-                                       (full_h, full_w))
-    sep_params = unet_lib.init_unet(sep_model, rng, (full_h, full_w))
-    stack_a = jax.tree.map(
-        lambda x: jnp.stack([x] * n_models_per_net), region_params)
-    stack_b = jax.tree.map(
-        lambda x: jnp.stack([x] * n_models_per_net), sep_params)
-
-    @jax.jit
-    def segment(stack_a, stack_b, images):
-        # pages sequential (lax.map), ensemble members sequential
-        # (lax.scan): one page already saturates the chip; vmapping
-        # either axis multiplies peak activation memory
-        def per_page(img):
-            net_in = _resize(img, (full_h, full_w), "area") / 255.0
-            x = net_in[None, ..., None]
-
-            def vote(model, stack):
-                probs = ensemble_apply(model, stack, x)
-                return jnp.argmax(probs[0], axis=-1).astype(jnp.uint8)
-
-            return (vote(region_model, stack_a),
-                    vote(sep_model, stack_b))
-
-        return jax.lax.map(per_page, images)
-
-    pages0 = jnp.asarray(
-        np.random.default_rng(0).integers(
-            0, 255, (batch, 2400, 1600)).astype(np.float32))
+    segment, (stack_a, stack_b, pages0) = build_flagship(batch=batch)
+    segment = jax.jit(segment)
 
     def fence(out):
         return float(out[0][0, 0, 0]) + float(out[1][-1, -1, -1])

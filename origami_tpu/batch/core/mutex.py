@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import logging
 import os
+import socket
 import sqlite3
 import time
 from contextlib import contextmanager
@@ -73,8 +74,15 @@ class DatabaseMutex:
                 " path TEXT NOT NULL,"
                 " processor TEXT NOT NULL,"
                 " pid INTEGER NOT NULL,"
+                " host TEXT NOT NULL DEFAULT '',"
                 " time REAL NOT NULL,"
                 " PRIMARY KEY (path, processor))")
+            # older DBs created before the host column existed
+            cols = [r[1] for r in conn.execute(
+                "PRAGMA table_info(mutex)")]
+            if "host" not in cols:
+                conn.execute("ALTER TABLE mutex ADD COLUMN "
+                             "host TEXT NOT NULL DEFAULT ''")
         try:
             _retry(op)
         except sqlite3.OperationalError:
@@ -97,15 +105,21 @@ class DatabaseMutex:
             self._reclaim_dead()
 
     def _reclaim_dead(self):
+        """PID-based reclamation is only valid for locks taken on THIS
+        host: with the DB shared across nodes (NFS), a remote process's
+        PID may be absent locally while the lock is live. Rows from other
+        hosts are left to age-based expiry (clear_locks(age))."""
         try:
             import psutil
         except ImportError:
             return
+        local = socket.gethostname()
 
         def op():
             conn = self._connect()
             rows = list(conn.execute("SELECT path, processor, pid "
-                                     "FROM mutex"))
+                                     "FROM mutex WHERE host = ?",
+                                     (local,)))
             dead = [(p, proc, pid) for p, proc, pid in rows
                     if not psutil.pid_exists(pid)]
             if dead:
@@ -122,27 +136,46 @@ class DatabaseMutex:
             try:
                 conn.execute("BEGIN EXCLUSIVE")
                 conn.executemany(
-                    "INSERT INTO mutex (path, processor, pid, time) "
-                    "VALUES (?, ?, ?, ?)",
-                    [(str(p), processor, os.getpid(), time.time())
+                    "INSERT INTO mutex (path, processor, pid, host, "
+                    "time) VALUES (?, ?, ?, ?, ?)",
+                    [(str(p), processor, os.getpid(),
+                      socket.gethostname(), time.time())
                      for p in paths])
                 conn.execute("COMMIT")
                 return True
             except sqlite3.IntegrityError:
                 conn.execute("ROLLBACK")
                 return False
+            except sqlite3.OperationalError:
+                # leave the connection transaction-free so _retry's next
+                # BEGIN EXCLUSIVE doesn't nest ("cannot start a
+                # transaction within a transaction")
+                self._rollback_quietly(conn)
+                raise
         return _retry(op)
 
     def unlock(self, processor, paths):
         def op():
             conn = self._connect()
-            conn.execute("BEGIN EXCLUSIVE")
-            conn.executemany(
-                "DELETE FROM mutex WHERE path = ? AND processor = ? "
-                "AND pid = ?",
-                [(str(p), processor, os.getpid()) for p in paths])
-            conn.execute("COMMIT")
+            try:
+                conn.execute("BEGIN EXCLUSIVE")
+                conn.executemany(
+                    "DELETE FROM mutex WHERE path = ? AND "
+                    "processor = ? AND pid = ?",
+                    [(str(p), processor, os.getpid()) for p in paths])
+                conn.execute("COMMIT")
+            except sqlite3.OperationalError:
+                self._rollback_quietly(conn)
+                raise
         _retry(op)
+
+    @staticmethod
+    def _rollback_quietly(conn):
+        if conn.in_transaction:
+            try:
+                conn.execute("ROLLBACK")
+            except sqlite3.OperationalError:
+                pass
 
     @contextmanager
     def lock(self, processor, paths):

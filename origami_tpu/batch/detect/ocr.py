@@ -23,6 +23,23 @@ from origami_tpu.batch.core.lines import LineExtractor
 from origami_tpu.batch.core.utils import RegionsFilter
 
 
+def pack_strip(strip, bucket, line_height, name=""):
+    """Normalize one uint8 line strip into (float inverted image, width)
+    for the (line_height, bucket) recognizer input. Strips wider than
+    the largest width bucket are squeezed horizontally instead of
+    cropped, so the tail of full-width newspaper / table lines survives
+    (the reference's Calamari path handles arbitrary widths)."""
+    if strip.shape[1] > bucket:
+        import cv2
+        logging.warning(
+            "line %s wider than max bucket (%d > %d px): downscaling",
+            name, strip.shape[1], bucket)
+        strip = cv2.resize(strip, (bucket, strip.shape[0]),
+                           interpolation=cv2.INTER_AREA)
+    strip = strip.astype(np.float32) / 255.0
+    return 1.0 - strip, strip.shape[1]
+
+
 class FakePredictor:
     line_height = 48
 
@@ -99,10 +116,11 @@ class RecognizerPredictor:
                              np.float32)
                 w = np.zeros((len(part),), np.float32)
                 for j, i in enumerate(part):
-                    strip = strips[i][1].astype(np.float32) / 255.0
-                    sw = min(strip.shape[1], bucket)
-                    sh = min(strip.shape[0], self.line_height)
-                    x[j, :sh, :sw, 0] = 1.0 - strip[:sh, :sw]
+                    inv, sw = pack_strip(
+                        strips[i][1], bucket, self.line_height,
+                        name="/".join(map(str, strips[i][0])))
+                    sh = min(inv.shape[0], self.line_height)
+                    x[j, :sh, :sw, 0] = inv[:sh, :sw]
                     w[j] = sw
                 if self._voting:
                     logits, pad = self._infer_voted(

@@ -77,12 +77,21 @@ class RasterFrame:
 
 def _fill_rings(mask, frame, shell, holes, value=1):
     pts = [np.round(frame.to_px(shell)).astype(np.int32)]
+    if not holes:
+        if len(pts[0]) >= 3:
+            cv2.fillPoly(mask, pts, int(value))
+        return mask
+    # holed polygon: compose shell-minus-holes in a scratch mask and
+    # merge, so a hole never erases area another polygon already drew
+    # into the shared mask (raster_union_all of overlapping geometries)
+    tmp = np.zeros_like(mask)
     if len(pts[0]) >= 3:
-        cv2.fillPoly(mask, pts, int(value))
+        cv2.fillPoly(tmp, pts, 1)
     for h in holes:
         hp = np.round(frame.to_px(h)).astype(np.int32)
         if len(hp) >= 3:
-            cv2.fillPoly(mask, [hp], 0)
+            cv2.fillPoly(tmp, [hp], 0)
+    mask[tmp > 0] = value
     return mask
 
 

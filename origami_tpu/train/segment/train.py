@@ -35,6 +35,7 @@ class TrainConfig:
     steps: int = 10_000
     warmup: int = 500
     remat: bool = True
+    class_weights: Any = None   # (num_classes,) loss weights, or None
 
 
 def make_optimizer(cfg):
@@ -86,7 +87,10 @@ class SegmentationTrainer:
             self.opt_state = jax.tree.map(
                 lambda x: x, self.optimizer.init(self.params))
 
-        class_weights = jnp.ones((cfg.num_classes,), jnp.float32)
+        if cfg.class_weights is not None:
+            class_weights = jnp.asarray(cfg.class_weights, jnp.float32)
+        else:
+            class_weights = jnp.ones((cfg.num_classes,), jnp.float32)
         step = make_train_step(self.model, self.optimizer, class_weights,
                                remat=cfg.remat)
         # shardings are carried by the arguments themselves (params were

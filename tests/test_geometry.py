@@ -275,3 +275,17 @@ def test_convex_clip_disjoint_and_contained():
     edge = G.box(10, 0, 20, 10)
     r2 = a.intersection(edge)
     assert r2.is_empty or r2.area < 1e-6
+
+
+def test_union_hole_does_not_erase_other_polygon():
+    # a holed polygon unioned with a solid one covering the hole: the
+    # hole ring must not punch through the solid polygon's area
+    from origami_tpu.geometry.raster import raster_union_all
+    holed = G.Polygon(
+        [(0, 0), (40, 0), (40, 40), (0, 40)],
+        [[(10, 10), (30, 10), (30, 30), (10, 30)]])
+    solid = G.box(5, 5, 35, 35)
+    for order in ([solid, holed], [holed, solid]):
+        u = raster_union_all(order)
+        assert u.area == pytest.approx(1600.0, rel=0.02)
+        assert u.contains_points(np.array([[20.0, 20.0]]))[0]

@@ -189,22 +189,53 @@ def test_compare_utility(tmp_path):
 
 
 def test_mutex_reclaims_dead_pids(tmp_path):
+    import socket
     import sqlite3
     import time as _time
     from origami_tpu.batch.core.mutex import DatabaseMutex
     m = DatabaseMutex(tmp_path / "lock.db")
     assert m.try_lock("page", ["/a"])
-    # fake a lock held by a dead pid
+    # fake locks held by a dead pid: one on this host, one on a remote
+    # host (whose PIDs we cannot inspect — must NOT be reclaimed)
     conn = sqlite3.connect(str(tmp_path / "lock.db"))
-    conn.execute("INSERT INTO mutex VALUES (?, ?, ?, ?)",
-                 ("/b", "page", 999999999, _time.time()))
+    conn.execute(
+        "INSERT INTO mutex (path, processor, pid, host, time) "
+        "VALUES (?, ?, ?, ?, ?)",
+        ("/b", "page", 999999999, socket.gethostname(), _time.time()))
+    conn.execute(
+        "INSERT INTO mutex (path, processor, pid, host, time) "
+        "VALUES (?, ?, ?, ?, ?)",
+        ("/c", "page", 999999999, "some-other-node", _time.time()))
     conn.commit()
     conn.close()
     m.clear_locks(age=3600)
     held = {p for p, *_ in m.held()}
     assert "/a" in held        # live pid's lock survives
-    assert "/b" not in held    # dead pid's lock reclaimed
+    assert "/b" not in held    # dead local pid's lock reclaimed
+    assert "/c" in held        # remote host's lock untouchable by pid
     m.unlock("page", ["/a"])
+    # remote lock expires only by age
+    _time.sleep(0.02)
+    m.clear_locks(age=0.01)
+    assert m.held() == []
+
+
+def test_mutex_migrates_old_schema(tmp_path):
+    import sqlite3
+    from origami_tpu.batch.core.mutex import DatabaseMutex
+    # a DB created by the pre-host-column schema keeps working
+    conn = sqlite3.connect(str(tmp_path / "old.db"))
+    conn.execute(
+        "CREATE TABLE mutex (path TEXT NOT NULL, processor TEXT NOT "
+        "NULL, pid INTEGER NOT NULL, time REAL NOT NULL, "
+        "PRIMARY KEY (path, processor))")
+    conn.execute("INSERT INTO mutex VALUES ('/z', 'page', 1, 0.0)")
+    conn.commit()
+    conn.close()
+    m = DatabaseMutex(tmp_path / "old.db")
+    assert not m.try_lock("page", ["/z"])
+    assert m.try_lock("page", ["/w"])
+    m.clear_locks()
     assert m.held() == []
 
 
@@ -242,3 +273,18 @@ def test_remote_task_db(tmp_path):
     s1 = signature(f)
     f.write_bytes(b"hello world!")
     assert signature(f) != s1
+
+
+def test_ocr_pack_strip_wide_line_downscales():
+    import numpy as np
+    from origami_tpu.batch.detect.ocr import pack_strip
+    # black text block at the far right end of an over-wide strip
+    strip = np.full((48, 3000), 255, np.uint8)
+    strip[:, 2900:] = 0
+    inv, w = pack_strip(strip, 2048, 48)
+    assert w == 2048 and inv.shape == (48, 2048)
+    # the tail ink survives (was cropped to blank before)
+    assert inv[:, -110:].max() > 0.5
+    # in-range strips pass through untouched
+    inv2, w2 = pack_strip(strip[:, :500], 2048, 48)
+    assert w2 == 500 and inv2.shape == (48, 500)
