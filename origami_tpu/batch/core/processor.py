@@ -325,11 +325,25 @@ class Processor:
         return _mutex.make_mutex(self._lock_strategy)
 
     def traverse(self, path):
+        from origami_tpu.parallel import multihost
         from origami_tpu.parallel.cache import ensure_compilation_cache
+        multi = multihost.maybe_initialize()
         ensure_compilation_cache()
         if not self._plain:
             print("running %s." % self.processor_name, flush=True)
         queued = self._build_queue(path)
+        if multi:
+            # deterministic cross-host sharding: each host only queues
+            # the pages whose stable hash lands on its process index
+            # (locks still guard against mixed/overlapping fleets)
+            index, count = multihost.process_info()
+            keep = set(multihost.my_pages(
+                [p for _, p, _ in queued], index=index, count=count))
+            queued = [(i, p, kw) for i, p, kw in queued if p in keep]
+            queued = [(j, p, kw)
+                      for j, (_, p, kw) in enumerate(queued)]
+            print("host %d/%d: %d pages assigned."
+                  % (index, count, len(queued)), flush=True)
         self._mutex = self._make_mutex(path)
         profiler = None
         device_trace = None

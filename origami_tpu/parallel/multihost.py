@@ -11,18 +11,64 @@ CPU/TPU fleets writing one artifact tree.
 from __future__ import annotations
 
 import hashlib
+import logging
+import os
+
+_initialized = False
+
+# env vars that mark a managed multi-host launch where
+# jax.distributed.initialize() can auto-detect the topology
+_AUTO_ENV = ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+             "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
 
 
-def maybe_initialize():
-    """Initialize jax.distributed when running under a multi-host launcher
-    (no-op in single-process settings)."""
+def maybe_initialize(coordinator_address=None, num_processes=None,
+                     process_id=None, local_device_ids=None):
+    """Initialize jax.distributed when running under a multi-host launch.
+
+    Explicit arguments win; otherwise a manual fleet is recognized via
+    ORIGAMI_TPU_COORDINATOR / ORIGAMI_TPU_NUM_PROCESSES /
+    ORIGAMI_TPU_PROCESS_ID, and a managed launch (GKE / Cloud TPU pod)
+    via the usual coordinator env vars, where initialize() auto-detects
+    the topology. Single-process settings are a no-op. Returns True iff
+    the distributed runtime is active with more than one process.
+
+    Must run before the first jax computation (Processor.traverse calls
+    it first thing)."""
+    global _initialized
     import jax
+    if not _initialized:
+        env = os.environ
+        coordinator_address = (coordinator_address or
+                               env.get("ORIGAMI_TPU_COORDINATOR"))
+        if num_processes is None and env.get("ORIGAMI_TPU_NUM_PROCESSES"):
+            num_processes = int(env["ORIGAMI_TPU_NUM_PROCESSES"])
+        if process_id is None and env.get("ORIGAMI_TPU_PROCESS_ID"):
+            process_id = int(env["ORIGAMI_TPU_PROCESS_ID"])
+        if coordinator_address is not None:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id,
+                local_device_ids=local_device_ids)
+            _initialized = True
+            logging.info("jax.distributed up: process %d/%d",
+                         jax.process_index(), jax.process_count())
+        elif any(k in env for k in _AUTO_ENV):
+            # a managed-launch marker is present, but single-chip
+            # environments (e.g. the axon tunnel) set some of these
+            # too — treat auto-detection failure as "not multi-host"
+            try:
+                jax.distributed.initialize()
+                _initialized = True
+                logging.info("jax.distributed up (auto): process %d/%d",
+                             jax.process_index(), jax.process_count())
+            except (ValueError, RuntimeError) as e:
+                logging.debug("jax.distributed auto-init declined: %s",
+                              e)
     try:
-        if jax.process_count() > 1:
-            return True
+        return jax.process_count() > 1
     except RuntimeError:
-        pass
-    return False
+        return False
 
 
 def process_info():

@@ -1,0 +1,285 @@
+"""Corpus -> trained models -> quality numbers, in one module.
+
+The reference never shipped training (its nets come from the external
+bbz-segment repo, reference README.md:223-229, and Calamari for OCR);
+origami_tpu brings the whole loop in-house. This module is the
+orchestration layer: given a GT corpus (real label masks, or the
+synthetic newspaper corpus from train.synth) it
+
+  * trains k-fold U-Net ensembles per network kind (region/separator)
+    with median-frequency class weights and device warp augmentation,
+  * evaluates per-class IoU against held-out GT masks through the SAME
+    SegmentationPredictor the detect.segment stage serves,
+  * distills each ensemble into one student (train.segment.distill) and
+    measures the quality retained,
+  * trains and evaluates the CTC recognizer (CER via the serving
+    RecognizerPredictor path).
+
+Voting semantics under test match origami/core/predict.py:327-368.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+REGION_CLASSES = ["TEXT", "TABULAR", "ILLUSTRATION", "BACKGROUND"]
+SEP_CLASSES = ["H", "V", "T", "BACKGROUND"]
+KIND_CLASSES = dict(region=REGION_CLASSES, separator=SEP_CLASSES)
+
+log = logging.getLogger(__name__)
+
+
+def load_corpus_arrays(corpus_dir, kind, full_size):
+    """All (image, label) pages of one kind, resized to the net canvas.
+
+    Returns (images (N, H, W) uint8, labels (N, H, W) uint8, names)."""
+    import cv2
+    import PIL.Image
+    from origami_tpu.train.segment.data import page_pairs
+    w, h = full_size
+    imgs, labs, names = [], [], []
+    for img_path, lab_path in page_pairs(corpus_dir, kind):
+        img = np.asarray(PIL.Image.open(str(img_path)).convert("L"))
+        lab = np.asarray(PIL.Image.open(str(lab_path)))
+        imgs.append(cv2.resize(img, (w, h),
+                               interpolation=cv2.INTER_AREA))
+        labs.append(cv2.resize(lab, (w, h),
+                               interpolation=cv2.INTER_NEAREST))
+        names.append(img_path.stem)
+    if not imgs:
+        raise FileNotFoundError(
+            "no (%s) page/label pairs under %s" % (kind, corpus_dir))
+    return np.stack(imgs), np.stack(labs), names
+
+
+def meta_for(kind, classes, full_size, width, s2d):
+    return dict(kind="unet", type=kind, classes=classes,
+                full_size=list(full_size), tile_size=list(full_size),
+                tile_beta=50, width=width, s2d=s2d, channels=1,
+                version=1)
+
+
+def train_segmentation(corpus_dir, out_dir, kind, members=5, steps=600,
+                       width=1.0, s2d=4, full_size=(1280, 2432),
+                       batch=2, learning_rate=3e-4, seed=0,
+                       warp_amplitude=10.0, log_every=50, mesh=None):
+    """Train a k-member ensemble for one kind; returns final losses."""
+    from origami_tpu.train.segment.data import class_weights, k_folds
+    from origami_tpu.train.segment.train import (SegmentationTrainer,
+                                                 TrainConfig)
+    from origami_tpu.train.segment.warp import WarpAugmentation
+
+    classes = KIND_CLASSES[kind]
+    images, labels, names = load_corpus_arrays(corpus_dir, kind,
+                                               full_size)
+    cw = class_weights(list(labels), len(classes))
+    folds = k_folds(names, k=members) if members > 1 else [[]]
+    out_dir = Path(out_dir)
+    w, h = full_size
+    losses = []
+    for m in range(members):
+        excluded = set(folds[m % len(folds)]) if members > 1 else set()
+        idx = [i for i, n in enumerate(names) if n not in excluded]
+        if not idx:
+            idx = list(range(len(names)))
+        cfg = TrainConfig(
+            num_classes=len(classes), width=width, s2d=s2d,
+            tile_hw=(h, w), steps=steps,
+            warmup=max(10, min(100, steps // 10)),
+            learning_rate=learning_rate, class_weights=cw)
+        trainer = SegmentationTrainer(cfg, mesh=mesh, seed=seed + m)
+        rng = np.random.default_rng(seed + 1000 * m)
+        aug = WarpAugmentation(warp_amplitude, seed=seed + m)
+        t0 = time.time()
+        loss = float("nan")
+        for step in range(steps):
+            sel = rng.choice(idx, size=batch)
+            ims = images[sel].astype(np.float32)
+            labs = labels[sel].astype(np.int32)
+            if warp_amplitude > 0 and step % 2 == 1:
+                pairs = [aug(ims[i], labs[i]) for i in range(batch)]
+                ims = np.stack([p[0] for p in pairs]).astype(np.float32)
+                labs = np.stack([p[1] for p in pairs]).astype(np.int32)
+            loss = trainer.train_step(ims[..., None] / 255.0, labs)
+            if step % log_every == 0 or step == steps - 1:
+                log.info("[%s %d/%d] step %d/%d loss %.4f (%.2f s/step)",
+                         kind, m + 1, members, step, steps, loss,
+                         (time.time() - t0) / (step + 1))
+        trainer.save(out_dir / kind / ("%02d" % m),
+                     meta_for(kind, classes, full_size, width, s2d))
+        losses.append(loss)
+    return losses
+
+
+def eval_segmentation(models_path, val_dir, target="quality",
+                      batch=4, mesh=None):
+    """Per-kind, per-class IoU of the serving predictor vs GT masks.
+
+    Aggregates intersections/unions over the whole validation set (not
+    a mean of per-page IoUs, which over-weights near-empty classes)."""
+    import cv2
+    import PIL.Image
+    from origami_tpu.core.predict import SegmentationPredictor
+    from origami_tpu.train.segment.data import page_pairs
+
+    predictor = SegmentationPredictor(models_path, target=target,
+                                      mesh=mesh)
+    report = {}
+    for kind in ("region", "separator"):
+        classes = KIND_CLASSES[kind]
+        pairs = list(page_pairs(val_dir, kind))
+        inter = np.zeros(len(classes), np.int64)
+        union = np.zeros(len(classes), np.int64)
+        for start in range(0, len(pairs), batch):
+            chunk = pairs[start: start + batch]
+            pages = [np.asarray(PIL.Image.open(str(ip)).convert("L"))
+                     for ip, _ in chunk]
+            segs = predictor.predict_batch(pages)
+            for (ip, lp), seg in zip(chunk, segs):
+                pred = seg.by_name(
+                    "regions" if kind == "region" else "separators")
+                lab = pred.labels
+                gt = np.asarray(PIL.Image.open(str(lp)))
+                gt = cv2.resize(gt, (lab.shape[1], lab.shape[0]),
+                                interpolation=cv2.INTER_NEAREST)
+                for c in range(len(classes)):
+                    am = lab == c
+                    bm = gt == c
+                    inter[c] += np.logical_and(am, bm).sum()
+                    union[c] += np.logical_or(am, bm).sum()
+        report[kind] = {
+            classes[c]: (float(inter[c] / union[c]) if union[c] else
+                         None)
+            for c in range(len(classes))}
+        ious = [v for v in report[kind].values() if v is not None]
+        report[kind]["_mean"] = float(np.mean(ious)) if ious else None
+    return report
+
+
+def distill_students(models_path, corpus_dir, out_dir, steps=800,
+                     batch=2, seed=0, mesh=None,
+                     student_cfg=None, learning_rate=2e-4):
+    """Fold each trained ensemble into ONE student per kind.
+
+    student_cfg: {kind: dict(width=..., s2d=...)}; defaults to the
+    teacher's own architecture (same capacity, 1/N inference cost)."""
+    from origami_tpu.models import registry
+    from origami_tpu.train.segment.distill import (DistillConfig,
+                                                   Distiller)
+
+    models_path = Path(models_path)
+    out_dir = Path(out_dir)
+    losses = {}
+    for kind in ("region", "separator"):
+        gdir = models_path / kind
+        members = sorted(d for d in gdir.iterdir()
+                         if (d / "meta.json").exists())
+        model, stack, meta = registry.load_ensemble(members)
+        full_w, full_h = meta["full_size"]
+        sc = (student_cfg or {}).get(kind, {})
+        cfg = DistillConfig(
+            num_classes=len(meta["classes"]),
+            width=sc.get("width", meta.get("width", 1.0)),
+            s2d=sc.get("s2d", meta.get("s2d", 1)),
+            tile_hw=(full_h, full_w), steps=steps,
+            warmup=max(10, min(100, steps // 10)),
+            learning_rate=learning_rate)
+        distiller = Distiller(cfg, model, stack, mesh=mesh, seed=seed)
+        images, labels, _ = load_corpus_arrays(
+            corpus_dir, kind, (full_w, full_h))
+        rng = np.random.default_rng(seed)
+        loss = float("nan")
+        t0 = time.time()
+        for step in range(steps):
+            sel = rng.choice(len(images), size=batch)
+            loss = distiller.train_step(
+                images[sel].astype(np.float32)[..., None] / 255.0,
+                labels[sel].astype(np.int32))
+            if step % 50 == 0 or step == steps - 1:
+                log.info("[distill %s] step %d/%d loss %.4f "
+                         "(%.2f s/step)", kind, step, steps, loss,
+                         (time.time() - t0) / (step + 1))
+        smeta = meta_for(kind, meta["classes"],
+                         (full_w, full_h), cfg.width, cfg.s2d)
+        distiller.save(out_dir / kind / "00", smeta)
+        losses[kind] = loss
+    return losses
+
+
+def train_recognizer_synth(out_dir, steps=2000, batch=64, height=48,
+                           seed=0, mesh=None, learning_rate=1e-3,
+                           conv_features=(64, 128, 256),
+                           lstm_features=256, max_text_len=48,
+                           n_pool=6000, log_every=50):
+    """Train the CTC recognizer on synthetic line strips.
+
+    Strips are pre-rendered into a pool once (host rendering per step
+    would starve the device on a small host) and batches sample from
+    it; one shared width bucket per batch keeps compiles bounded."""
+    from origami_tpu.models.recognizer import width_buckets
+    from origami_tpu.train.ocr.train import (OCRTrainConfig,
+                                             RecognizerTrainer,
+                                             encode_labels)
+    from origami_tpu.train.synth import CHARSET, render_line
+
+    cfg = OCRTrainConfig(
+        num_symbols=len(CHARSET), height=height, steps=steps,
+        warmup=max(20, min(200, steps // 10)),
+        learning_rate=learning_rate, conv_features=conv_features,
+        lstm_features=lstm_features)
+    trainer = RecognizerTrainer(cfg, mesh=mesh, seed=seed)
+
+    t0 = time.time()
+    pool = [render_line(seed * 100_000 + i, height=height)
+            for i in range(n_pool)]
+    log.info("[ocr] pool of %d strips rendered in %.1f s",
+             n_pool, time.time() - t0)
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    loss = float("nan")
+    for step in range(steps):
+        sel = rng.choice(n_pool, size=batch)
+        strips = [pool[i][0] for i in sel]
+        texts = [pool[i][1] for i in sel]
+        bucket = max(width_buckets([s.shape[1] for s in strips]))
+        x = np.zeros((batch, height, bucket, 1), np.float32)
+        wds = np.zeros((batch,), np.float32)
+        for i, s in enumerate(strips):
+            sw = min(s.shape[1], bucket)
+            x[i, :, :sw, 0] = 1.0 - s[:, :sw] / 255.0
+            wds[i] = sw
+        labels, pad = encode_labels(texts, CHARSET,
+                                    max_len=max_text_len)
+        loss = trainer.train_step(x, wds, labels, pad)
+        if step % log_every == 0 or step == steps - 1:
+            log.info("[ocr] step %d/%d loss %.4f (%.2f s/step)",
+                     step, steps, loss, (time.time() - t0) / (step + 1))
+    trainer.save(Path(out_dir), CHARSET)
+    return loss
+
+
+def eval_recognizer(model_dir, n=200, seed=123_456, height=None,
+                    decoder="greedy"):
+    """Mean CER of the serving RecognizerPredictor on held-out synthetic
+    lines (seed-disjoint from training by construction)."""
+    from origami_tpu.batch.detect.ocr import RecognizerPredictor
+    from origami_tpu.batch.utils.evaluate import cer
+    from origami_tpu.train.synth import render_line
+
+    predictor = RecognizerPredictor([Path(model_dir)], decoder=decoder)
+    h = height or predictor.line_height
+    strips, texts = [], []
+    for i in range(n):
+        s, t = render_line(seed + i, height=h)
+        strips.append((("val", str(i)), s))
+        texts.append(t)
+    preds, confs = predictor.predict(strips)
+    cers = [cer(t, p) for t, p in zip(texts, preds)]
+    return dict(cer=float(np.mean(cers)),
+                cer_median=float(np.median(cers)),
+                n=n, conf=float(np.mean(confs)))
