@@ -223,9 +223,13 @@ class ComposeProcessor(Processor):
                             tl.append_baseline(bl.np_coords)
                         tl.append_text_equiv(self._clean(text))
                     text_accum.append(self._clean(text))
-            reg.append_text_equiv("\n".join(text_accum))
+            if kind == "TextRegion":
+                # TableRegionType / GraphicRegionType carry no
+                # TextEquiv in the PAGE schema
+                reg.append_text_equiv("\n".join(text_accum))
 
         doc.append_reading_order(region_ids)
+        doc.validate()
         return doc
 
     def process(self, page_path, input, output):

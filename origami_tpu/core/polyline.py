@@ -18,9 +18,10 @@ from origami_tpu.core.math import Orientation
 
 
 class Polyline:
-    def __init__(self, coords, width=1.0):
+    def __init__(self, coords, width=1.0, error=0.0):
         self._line = G.LineString(coords)
         self._width = float(width)
+        self._error = float(error)
 
     @property
     def line_string(self):
@@ -39,11 +40,19 @@ class Polyline:
         return self._width
 
     @property
+    def error(self):
+        """Fit residual of the estimation this polyline came from (mean
+        source-pixel distance, normalized by stroke width); 0 when built
+        directly from coordinates."""
+        return self._error
+
+    @property
     def is_empty(self):
         return self._line.is_empty
 
     def simplify(self, tolerance):
-        return Polyline(self._line.simplify(tolerance).np_coords, self._width)
+        return Polyline(self._line.simplify(tolerance).np_coords,
+                        self._width, self._error)
 
     def oriented(self, orientation):
         """Ensure coordinates progress along the given orientation."""
@@ -53,18 +62,33 @@ class Polyline:
         d = c[-1] - c[0]
         axis = 0 if orientation == Orientation.H else 1
         if d[axis] < 0:
-            return Polyline(c[::-1], self._width)
+            return Polyline(c[::-1], self._width, self._error)
         return self
 
     @property
     def centroid(self):
         return self._line.centroid
 
+    def extended(self, amount):
+        """Extend both ends along their end directions by `amount` px."""
+        c = self._line.np_coords
+        if len(c) < 2 or amount <= 0:
+            return self
+        d0 = c[0] - c[1]
+        d1 = c[-1] - c[-2]
+        n0 = np.linalg.norm(d0)
+        n1 = np.linalg.norm(d1)
+        head = c[0] + d0 / n0 * amount if n0 > 1e-9 else c[0]
+        tail = c[-1] + d1 / n1 * amount if n1 > 1e-9 else c[-1]
+        return Polyline(np.vstack([head, c, tail]), self._width,
+                        self._error)
+
     def mapped(self, func):
         """Apply a vectorized (xs, ys) -> (xs', ys') coordinate map."""
         c = self._line.np_coords
         xs, ys = func(c[:, 0], c[:, 1])
-        return Polyline(np.stack([xs, ys], axis=-1), self._width)
+        return Polyline(np.stack([xs, ys], axis=-1), self._width,
+                        self._error)
 
 
 def estimate_polyline(mask, orientation, simplify_tol=3.0):

@@ -201,9 +201,14 @@ def overlay(a, b, op):
             and _poly_convex(a) and _poly_convex(b):
         return _convex_clip(a, b)
 
-    # areal x areal — raster
+    # areal x areal — exact arrangement overlay (booleans.py); the
+    # raster path remains only as the fallback for inputs the exact
+    # path rejects (self-intersections and other invalidities)
     if ta in _AREAL and tb in _AREAL:
-        return _raster.raster_overlay(a, b, op)
+        try:
+            return _exact_overlay(a, b, op)
+        except Exception:
+            return _raster.raster_overlay(a, b, op)
 
     # mixed collections: recurse
     if ta == "GeometryCollection":
@@ -218,6 +223,33 @@ def overlay(a, b, op):
     if op == "diff" and ta in _LINEAL and tb in _AREAL:
         return _clip_line_outside_polygon(a, b)
     return _raster.raster_overlay(a, b, op)
+
+
+def _areal_rings(g):
+    """All rings (shells + holes) of an areal geometry, open form."""
+    rings = []
+    if g.geom_type == "Polygon":
+        rings.append(g._shell)
+        rings.extend(g._holes)
+    else:
+        for p in g.geoms:
+            rings.extend(_areal_rings(p))
+    return rings
+
+
+def _exact_overlay(a, b, op):
+    """Exact polygon boolean via the arrangement overlay (booleans.py
+    polygon_boolean); raises on degenerate input for raster fallback."""
+    from . import booleans as _bool
+    polys = _bool.polygon_boolean(_areal_rings(a), _areal_rings(b), op)
+    out = []
+    for shell, holes in polys:
+        out.append(Polygon(shell, [h for h in holes]))
+    if not out:
+        return GEOMETRY_EMPTY
+    if len(out) == 1:
+        return out[0]
+    return MultiPolygon(out)
 
 
 def _is_convex_ring(c):
@@ -420,6 +452,17 @@ def unary_union(geoms):
             else:
                 lines.append(g)
         return MultiLineString(lines)
+    if all(g.geom_type in _AREAL for g in geoms):
+        # exact n-ary union in ONE arrangement pass (booleans.py)
+        try:
+            from . import booleans as _bool
+            polys = _bool.union_all([_areal_rings(g) for g in geoms])
+            out = [Polygon(shell, list(holes)) for shell, holes in polys]
+            if not out:
+                return GEOMETRY_EMPTY
+            return out[0] if len(out) == 1 else MultiPolygon(out)
+        except Exception:
+            return _raster.raster_union_all(geoms)
     return _raster.raster_union_all(geoms)
 
 

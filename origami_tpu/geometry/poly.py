@@ -124,7 +124,11 @@ def _seg_intersections(segs_a, segs_b, *, bool_only=False):
     if bool_only:
         if hit.any():
             return True
-        par = ~nonpar & (np.abs(t_num) < 1e-9)  # parallel and collinear
+        # parallel AND collinear: both cross products must vanish —
+        # t_num alone is identically 0 for degenerate (point) segments,
+        # which made any point projecting onto a segment "intersect" it
+        # regardless of its perpendicular offset
+        par = ~nonpar & (np.abs(t_num) < 1e-9) & (np.abs(u_num) < 1e-9)
         if par.any():
             ia, ib = np.nonzero(par)
             for i, j in zip(ia[:256], ib[:256]):
@@ -133,7 +137,15 @@ def _seg_intersections(segs_a, segs_b, *, bool_only=False):
                 d = p1 - p0
                 L = float(d @ d)
                 if L < _EPS:
-                    continue
+                    # a is degenerate: parametrize along b instead
+                    d = q1 - q0
+                    L = float(d @ d)
+                    if L < _EPS:
+                        dp = p0 - q0
+                        if float(dp @ dp) < _EPS:
+                            return True
+                        continue
+                    p0, p1, q0, q1 = q0, q1, p0, p1
                 t0 = float((q0 - p0) @ d) / L
                 t1 = float((q1 - p0) @ d) / L
                 if max(min(t0, t1), 0.0) <= min(max(t0, t1), 1.0) + 1e-9:
@@ -455,6 +467,38 @@ class LineString(Geometry):
             total = lens.sum()
             return float(s / total) if total > 0 else 0.0
         return float(s)
+
+    def substring(self, start, end, normalized=False):
+        """The sub-line between two arc lengths along this line."""
+        seg = np.diff(self._c, axis=0)
+        lens = np.linalg.norm(seg, axis=1)
+        total = float(lens.sum())
+        if normalized:
+            start, end = start * total, end * total
+        start = min(max(float(start), 0.0), total)
+        end = min(max(float(end), 0.0), total)
+        if end < start:
+            start, end = end, start
+        cum = np.concatenate([[0.0], np.cumsum(lens)])
+
+        def at(dist):
+            i = int(np.searchsorted(cum, dist, side="right") - 1)
+            i = min(max(i, 0), len(lens) - 1)
+            denom = lens[i] if lens[i] > _EPS else 1.0
+            t = (dist - cum[i]) / denom
+            return self._c[i] + t * seg[i], i
+
+        p0, i0 = at(start)
+        p1, i1 = at(end)
+        mid = self._c[i0 + 1: i1 + 1]
+        pts = np.vstack([[p0], mid, [p1]])
+        # drop consecutive duplicates
+        keep = np.ones(len(pts), bool)
+        keep[1:] = np.linalg.norm(np.diff(pts, axis=0), axis=1) > _EPS
+        pts = pts[keep]
+        if len(pts) < 2:
+            pts = np.vstack([p0, p1])
+        return LineString(pts)
 
     def simplify(self, tolerance, preserve_topology=True):
         return LineString(_douglas_peucker(self._c, tolerance))

@@ -2,13 +2,16 @@
 
 Counterpart of origami/pagexml/pagexml.py: builds Metadata/Page/
 TextRegion/TableRegion/GraphicRegion/TextLine/Coords/TextEquiv/
-ReadingOrder documents. Validation is structural (required elements,
-attribute formats, coordinate sanity) rather than via the PRImA XSD file.
+ReadingOrder documents. Every write validates twice: fast structural
+checks (unique NCName ids, resolvable reading-order refs, sane Coords),
+then against the vendored PRImA pagecontent.xsd — the same guarantee
+the reference gives (origami/pagexml/pagexml.py:71-90).
 """
 
 from __future__ import annotations
 
 import datetime
+from pathlib import Path
 
 import numpy as np
 from lxml import etree
@@ -17,6 +20,23 @@ NS = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
 XSI = "http://www.w3.org/2001/XMLSchema-instance"
 SCHEMA_LOC = ("%s http://schema.primaresearch.org/PAGE/gts/pagecontent/"
               "2019-07-15/pagecontent.xsd") % NS
+
+_XSD_PATH = Path(__file__).parent / "pagecontent.xsd"
+_xsd_cache = None
+
+
+def xml_schema():
+    """The vendored PAGE content schema, compiled once per process."""
+    global _xsd_cache
+    if _xsd_cache is None:
+        _xsd_cache = etree.XMLSchema(etree.parse(str(_XSD_PATH)))
+    return _xsd_cache
+
+
+def _sub(parent, tag):
+    """Child element in the PAGE namespace (serialized prefix-free via
+    the root's default nsmap)."""
+    return etree.SubElement(parent, "{%s}%s" % (NS, tag))
 
 
 def _coords_str(coords):
@@ -31,20 +51,20 @@ class _Region:
         self._e = element
 
     def append_coords(self, coords):
-        c = etree.SubElement(self._e, "Coords")
+        c = _sub(self._e, "Coords")
         c.set("points", _coords_str(coords))
 
     def append_text_equiv(self, text, confidence=None):
-        te = etree.SubElement(self._e, "TextEquiv")
+        te = _sub(self._e, "TextEquiv")
         if confidence is not None:
             te.set("conf", "%.2f" % confidence)
-        u = etree.SubElement(te, "Unicode")
+        u = _sub(te, "Unicode")
         u.text = text
 
 
 class TextRegion(_Region):
     def append_text_line(self, line_id=None):
-        tl = etree.SubElement(self._e, "TextLine")
+        tl = _sub(self._e, "TextLine")
         if line_id:
             tl.set("id", line_id)
         return TextLine(tl)
@@ -52,22 +72,40 @@ class TextRegion(_Region):
 
 class TextLine(_Region):
     def append_baseline(self, coords):
-        b = etree.SubElement(self._e, "Baseline")
+        b = _sub(self._e, "Baseline")
         b.set("points", _coords_str(coords))
 
 
-class TableCell(_Region):
-    pass
+class TableCell(TextRegion):
+    """A table cell: PAGE 2019-07-15 has no TableCell element — cells
+    are TextRegions nested in the TableRegion, carrying a
+    Roles/TableCellRole with the grid position."""
+
+    def __init__(self, element, row, col, row_span=None, col_span=None):
+        super().__init__(element)
+        self._role = (row, col, row_span, col_span)
+
+    def append_coords(self, coords):
+        # RegionType orders Roles right after Coords
+        super().append_coords(coords)
+        row, col, row_span, col_span = self._role
+        roles = _sub(self._e, "Roles")
+        role = _sub(roles, "TableCellRole")
+        role.set("rowIndex", str(int(row)))
+        role.set("columnIndex", str(int(col)))
+        if row_span is not None:
+            role.set("rowSpan", str(int(row_span)))
+        if col_span is not None:
+            role.set("colSpan", str(int(col_span)))
 
 
 class TableRegionElement(_Region):
-    def append_table_cell(self, row, col, cell_id=None):
-        tc = etree.SubElement(self._e, "TableCell")
+    def append_table_cell(self, row, col, cell_id=None, row_span=None,
+                          col_span=None):
+        tc = _sub(self._e, "TextRegion")
         if cell_id:
             tc.set("id", cell_id)
-        tc.set("row", str(row))
-        tc.set("col", str(col))
-        return TableCell(tc)
+        return TableCell(tc, row, col, row_span, col_span)
 
 
 class Page:
@@ -79,25 +117,25 @@ class Page:
             nsmap={None: NS, "xsi": XSI})
         self._root.set("{%s}schemaLocation" % XSI, SCHEMA_LOC)
 
-        meta = etree.SubElement(self._root, "Metadata")
-        etree.SubElement(meta, "Creator").text = "origami_tpu"
+        meta = _sub(self._root, "Metadata")
+        _sub(meta, "Creator").text = "origami_tpu"
         now = datetime.datetime.now(
             datetime.timezone.utc).isoformat()
-        etree.SubElement(meta, "Created").text = now
-        etree.SubElement(meta, "LastChange").text = now
+        _sub(meta, "Created").text = now
+        _sub(meta, "LastChange").text = now
 
-        self._page = etree.SubElement(self._root, "Page")
+        self._page = _sub(self._root, "Page")
         self._page.set("imageFilename", str(filename))
         self._page.set("imageWidth", str(int(size[0])))
         self._page.set("imageHeight", str(int(size[1])))
         self._reading_order = None
 
     def append_reading_order(self, ordered_ids):
-        ro = etree.SubElement(self._page, "ReadingOrder")
-        og = etree.SubElement(ro, "OrderedGroup")
+        ro = _sub(self._page, "ReadingOrder")
+        og = _sub(ro, "OrderedGroup")
         og.set("id", "ro_1")
         for i, rid in enumerate(ordered_ids):
-            item = etree.SubElement(og, "RegionRefIndexed")
+            item = _sub(og, "RegionRefIndexed")
             item.set("index", str(i))
             item.set("regionRef", rid)
         # move ReadingOrder to the front (schema requires it before
@@ -105,7 +143,7 @@ class Page:
         self._page.insert(0, ro)
 
     def append_region(self, kind, region_id, region_type=None):
-        e = etree.SubElement(self._page, kind)
+        e = _sub(self._page, kind)
         e.set("id", region_id)
         if region_type and kind == "TextRegion":
             e.set("type", region_type)
@@ -115,8 +153,9 @@ class Page:
             return TableRegionElement(e)
         return _Region(e)
 
-    def validate(self):
-        """Structural sanity checks; raises ValueError on problems."""
+    def validate(self, xsd=True):
+        """Structural sanity checks, then (xsd=True) full validation
+        against the vendored PRImA schema; raises ValueError."""
         ids = set()
         for e in self._page.iter():
             rid = e.get("id")
@@ -124,14 +163,20 @@ class Page:
                 if rid in ids:
                     raise ValueError("duplicate id %s" % rid)
                 ids.add(rid)
-        for ref in self._page.iter("RegionRefIndexed"):
+        for ref in self._page.iter("{%s}RegionRefIndexed" % NS):
             if ref.get("regionRef") not in ids:
                 raise ValueError(
                     "dangling regionRef %s" % ref.get("regionRef"))
-        for c in self._page.iter("Coords"):
+        for c in self._page.iter("{%s}Coords" % NS):
             pts = c.get("points", "")
             if len(pts.split()) < 3:
                 raise ValueError("degenerate Coords %r" % pts)
+        if xsd:
+            schema = xml_schema()
+            if not schema.validate(self._root):
+                raise ValueError(
+                    "Page-XML schema validation failed:\n%s"
+                    % "\n".join(str(e) for e in schema.error_log))
         return True
 
     def tostring(self):

@@ -72,7 +72,6 @@ def train_segmentation(corpus_dir, out_dir, kind, members=5, steps=600,
     from origami_tpu.train.segment.data import class_weights, k_folds
     from origami_tpu.train.segment.train import (SegmentationTrainer,
                                                  TrainConfig)
-    from origami_tpu.train.segment.warp import WarpAugmentation
 
     classes = KIND_CLASSES[kind]
     images, labels, names = load_corpus_arrays(corpus_dir, kind,
@@ -93,26 +92,25 @@ def train_segmentation(corpus_dir, out_dir, kind, members=5, steps=600,
             warmup=max(10, min(100, steps // 10)),
             learning_rate=learning_rate, class_weights=cw)
         trainer = SegmentationTrainer(cfg, mesh=mesh, seed=seed + m)
+        # the member's training rows live in device memory; each step
+        # ships only indices (host-fed float batches measured 3.5 s/step
+        # through the device tunnel vs compute-bound this way)
+        trainer.attach_dataset(images[idx], labels[idx],
+                               warp_amplitude=warp_amplitude,
+                               seed=seed + m)
         rng = np.random.default_rng(seed + 1000 * m)
-        aug = WarpAugmentation(warp_amplitude, seed=seed + m)
         t0 = time.time()
-        loss = float("nan")
+        loss = None
         for step in range(steps):
-            sel = rng.choice(idx, size=batch)
-            ims = images[sel].astype(np.float32)
-            labs = labels[sel].astype(np.int32)
-            if warp_amplitude > 0 and step % 2 == 1:
-                pairs = [aug(ims[i], labs[i]) for i in range(batch)]
-                ims = np.stack([p[0] for p in pairs]).astype(np.float32)
-                labs = np.stack([p[1] for p in pairs]).astype(np.int32)
-            loss = trainer.train_step(ims[..., None] / 255.0, labs)
+            sel = rng.integers(0, len(idx), size=batch)
+            loss = trainer.train_on_indices(sel)
             if step % log_every == 0 or step == steps - 1:
                 log.info("[%s %d/%d] step %d/%d loss %.4f (%.2f s/step)",
-                         kind, m + 1, members, step, steps, loss,
+                         kind, m + 1, members, step, steps, float(loss),
                          (time.time() - t0) / (step + 1))
         trainer.save(out_dir / kind / ("%02d" % m),
                      meta_for(kind, classes, full_size, width, s2d))
-        losses.append(loss)
+        losses.append(float(loss))
     return losses
 
 
@@ -192,18 +190,18 @@ def distill_students(models_path, corpus_dir, out_dir, steps=800,
         distiller = Distiller(cfg, model, stack, mesh=mesh, seed=seed)
         images, labels, _ = load_corpus_arrays(
             corpus_dir, kind, (full_w, full_h))
+        distiller.attach_dataset(images, labels, seed=seed)
         rng = np.random.default_rng(seed)
-        loss = float("nan")
+        loss = None
         t0 = time.time()
         for step in range(steps):
-            sel = rng.choice(len(images), size=batch)
-            loss = distiller.train_step(
-                images[sel].astype(np.float32)[..., None] / 255.0,
-                labels[sel].astype(np.int32))
+            sel = rng.integers(0, len(images), size=batch)
+            loss = distiller.distill_on_indices(sel)
             if step % 50 == 0 or step == steps - 1:
                 log.info("[distill %s] step %d/%d loss %.4f "
-                         "(%.2f s/step)", kind, step, steps, loss,
-                         (time.time() - t0) / (step + 1))
+                         "(%.2f s/step)", kind, step, steps,
+                         float(loss), (time.time() - t0) / (step + 1))
+        loss = float(loss)
         smeta = meta_for(kind, meta["classes"],
                          (full_w, full_h), cfg.width, cfg.s2d)
         distiller.save(out_dir / kind / "00", smeta)
@@ -239,28 +237,43 @@ def train_recognizer_synth(out_dir, steps=2000, batch=64, height=48,
             for i in range(n_pool)]
     log.info("[ocr] pool of %d strips rendered in %.1f s",
              n_pool, time.time() - t0)
+
+    # group the pool into width buckets and move it to device memory
+    by_bucket = {}
+    bks = width_buckets([s.shape[1] for s, _ in pool])
+    for (s, t), b in zip(pool, bks):
+        by_bucket.setdefault(b, []).append((s, t))
+    buckets = {}
+    for b, items in by_bucket.items():
+        x = np.zeros((len(items), height, b), np.uint8)
+        wds = np.zeros((len(items),), np.float32)
+        for i, (s, _) in enumerate(items):
+            sw = min(s.shape[1], b)
+            # store white-padded raw strips; the step inverts on device
+            x[i, :, :sw] = s[:, :sw]
+            x[i, :, sw:] = 255
+            wds[i] = sw
+        labels, pad = encode_labels([t for _, t in items], CHARSET,
+                                    max_len=max_text_len)
+        buckets[b] = (x, wds, labels, pad)
+    trainer.attach_pool(buckets)
+    keys = sorted(buckets)
+    weights = np.array([len(by_bucket[k]) for k in keys], np.float64)
+    weights /= weights.sum()
+
     rng = np.random.default_rng(seed)
     t0 = time.time()
-    loss = float("nan")
+    loss = None
     for step in range(steps):
-        sel = rng.choice(n_pool, size=batch)
-        strips = [pool[i][0] for i in sel]
-        texts = [pool[i][1] for i in sel]
-        bucket = max(width_buckets([s.shape[1] for s in strips]))
-        x = np.zeros((batch, height, bucket, 1), np.float32)
-        wds = np.zeros((batch,), np.float32)
-        for i, s in enumerate(strips):
-            sw = min(s.shape[1], bucket)
-            x[i, :, :sw, 0] = 1.0 - s[:, :sw] / 255.0
-            wds[i] = sw
-        labels, pad = encode_labels(texts, CHARSET,
-                                    max_len=max_text_len)
-        loss = trainer.train_step(x, wds, labels, pad)
+        b = keys[rng.choice(len(keys), p=weights)]
+        sel = rng.integers(0, len(by_bucket[b]), size=batch)
+        loss = trainer.train_on_bucket(b, sel)
         if step % log_every == 0 or step == steps - 1:
             log.info("[ocr] step %d/%d loss %.4f (%.2f s/step)",
-                     step, steps, loss, (time.time() - t0) / (step + 1))
+                     step, steps, float(loss),
+                     (time.time() - t0) / (step + 1))
     trainer.save(Path(out_dir), CHARSET)
-    return loss
+    return float(loss)
 
 
 def eval_recognizer(model_dir, n=200, seed=123_456, height=None,

@@ -75,6 +75,49 @@ class RecognizerTrainer:
                 self.params, self.opt_state, *batch)
         return float(loss)
 
+    # -- device-resident-pool path -----------------------------------------
+    def attach_pool(self, buckets):
+        """buckets: {bucket_width: (strips_u8 (N, H, Wb), widths (N,),
+        labels (N, L), label_pad (N, L))}. The whole pool moves to
+        device memory once; train_on_bucket ships only indices per step
+        (host-rendered float batches starve a remote device)."""
+        import numpy as np
+        model = self.model
+        optimizer = self.optimizer
+
+        with self.mesh:
+            rep = mesh_lib.replicated(self.mesh)
+            self._pool = {
+                k: tuple(jax.device_put(np.asarray(a), rep) for a in v)
+                for k, v in buckets.items()}
+
+        def dstep(params, opt_state, strips_u8, widths, labels,
+                  label_pad, idx):
+            x = (1.0 - strips_u8[idx].astype(jnp.float32)
+                 / 255.0)[..., None]
+
+            def loss_fn(p):
+                logits, pad = model.apply({"params": p}, x,
+                                          widths=widths[idx])
+                return ctc_lib.ctc_loss(logits, pad, labels[idx],
+                                        label_pad[idx])
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state,
+                                                  params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._dstep = jax.jit(dstep, donate_argnums=(0, 1))
+
+    def train_on_bucket(self, bucket, idx):
+        """One step on pool rows `idx` of one width bucket; returns the
+        loss as a device array (float() only when logging)."""
+        with self.mesh:
+            self.params, self.opt_state, loss = self._dstep(
+                self.params, self.opt_state, *self._pool[bucket],
+                jnp.asarray(idx, jnp.int32))
+        return loss
+
     def save(self, path, charset):
         from origami_tpu.models import registry
         meta = dict(kind="recognizer", charset=charset,

@@ -41,6 +41,7 @@ class Distiller:
     def __init__(self, cfg, teacher_model, teacher_stack, mesh=None,
                  seed=0):
         self.cfg = cfg
+        self._teacher_model = teacher_model
         self.mesh = mesh or mesh_lib.make_mesh()
         self.student = unet_lib.create_unet(
             cfg.num_classes, width=cfg.width, s2d=cfg.s2d)
@@ -98,6 +99,73 @@ class Distiller:
             return params, opt_state, loss
 
         self._step = jax.jit(step, donate_argnums=(0, 1))
+
+    # -- device-resident-corpus path ---------------------------------------
+    def attach_dataset(self, images_u8, labels_u8, seed=0):
+        """Upload the (N, H, W) uint8 corpus once; distill_on_indices
+        transfers only indices per step (see train.py rationale)."""
+        import numpy as np
+        with self.mesh:
+            rep = mesh_lib.replicated(self.mesh)
+            self._data = (
+                jax.device_put(np.asarray(images_u8, np.uint8), rep),
+                jax.device_put(np.asarray(labels_u8, np.uint8), rep))
+
+        teacher_model = self._teacher_model
+        cfg = self.cfg
+        student = self.student
+        optimizer = self.optimizer
+        T = cfg.temperature
+        hard_w = cfg.hard_weight
+
+        def dstep(params, opt_state, teacher_stack, data_img, data_lab,
+                  idx):
+            images = (data_img[idx].astype(jnp.float32) / 255.0)[..., None]
+            labels = data_lab[idx].astype(jnp.int32)
+            label_mask = jnp.ones(labels.shape, jnp.float32)
+
+            def teach(p):
+                logits = teacher_model.apply({"params": p}, images)
+                return jax.nn.softmax(logits / T, axis=-1)
+
+            tprobs, _ = jax.lax.scan(
+                lambda acc, p: (acc + teach(p), None),
+                jnp.zeros(images.shape[:3] + (cfg.num_classes,),
+                          jnp.float32),
+                teacher_stack)
+            n = jax.tree_util.tree_leaves(teacher_stack)[0].shape[0]
+            tprobs = tprobs / n
+
+            def loss_fn(p):
+                slogits = student.apply({"params": p}, images)
+                slogp = jax.nn.log_softmax(slogits / T, axis=-1)
+                tlogp = jnp.log(jnp.maximum(tprobs, 1e-9))
+                kl = jnp.mean(jnp.sum(
+                    tprobs * (tlogp - slogp), axis=-1)) * T * T
+                onehot = jax.nn.one_hot(labels, cfg.num_classes)
+                ce_px = -jnp.sum(
+                    onehot * jax.nn.log_softmax(slogits, axis=-1),
+                    axis=-1)
+                ce = jnp.sum(ce_px * label_mask) / jnp.maximum(
+                    jnp.sum(label_mask), 1.0)
+                return kl + hard_w * ce
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state,
+                                                  params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._dstep = jax.jit(dstep, donate_argnums=(0, 1))
+
+    def distill_on_indices(self, idx):
+        """One distillation step on corpus rows `idx`; returns the loss
+        as a device array (float() it only when logging)."""
+        with self.mesh:
+            self.params, self.opt_state, loss = self._dstep(
+                self.params, self.opt_state, self.teacher_stack,
+                *self._data, jnp.asarray(idx, jnp.int32))
+        return loss
 
     def train_step(self, images, labels=None, label_mask=None):
         import numpy as np

@@ -70,6 +70,42 @@ def make_train_step(model, optimizer, class_weights, remat=True):
     return step
 
 
+def make_dataset_train_step(model, optimizer, class_weights,
+                            warp_amplitude=0.0, remat=True):
+    """Train step over a DEVICE-RESIDENT uint8 corpus: the host sends
+    only batch indices + an rng key per step; gather, warp augmentation
+    and normalization all run on device. Feeding decoded float pages
+    from the host every step is bandwidth-bound (25 MB/step through a
+    remote tunnel measured 3.5 s/step; this formulation is compute-
+    bound)."""
+    from origami_tpu.train.segment.warp import warp_pair
+    apply = model.apply
+    if remat:
+        apply = jax.checkpoint(apply)
+
+    def step(params, opt_state, images_u8, labels_u8, idx, key):
+        imgs = images_u8[idx].astype(jnp.float32)
+        labs = labels_u8[idx].astype(jnp.int32)
+        if warp_amplitude > 0:
+            n = imgs.shape[0]
+            keys = jax.random.split(key, n + 1)
+            # per-sample amplitude in [0, A): every page is warped a
+            # random amount, a smooth version of warp-every-other-batch
+            amps = jax.random.uniform(keys[0], (n,)) * warp_amplitude
+            imgs, labs = jax.vmap(warp_pair)(keys[1:], imgs, labs, amps)
+        x = (imgs / 255.0)[..., None]
+
+        def loss_fn(p):
+            logits = apply({"params": p}, x)
+            return weighted_ce_loss(logits, labs, class_weights)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
 class SegmentationTrainer:
     """Owns params/opt_state placed on a mesh and the jitted step."""
 
@@ -106,6 +142,36 @@ class SegmentationTrainer:
             self.params, self.opt_state, loss = self._step(
                 self.params, self.opt_state, images, labels)
         return float(loss)
+
+    # -- device-resident-corpus path ---------------------------------------
+    def attach_dataset(self, images_u8, labels_u8, warp_amplitude=0.0,
+                       seed=0):
+        """Upload the whole (N, H, W) uint8 corpus to device memory once;
+        train_on_indices then transfers only indices per step."""
+        cw = jnp.asarray(self.cfg.class_weights, jnp.float32) \
+            if self.cfg.class_weights is not None \
+            else jnp.ones((self.cfg.num_classes,), jnp.float32)
+        with self.mesh:
+            rep = mesh_lib.replicated(self.mesh)
+            self._data = (
+                jax.device_put(np.asarray(images_u8, np.uint8), rep),
+                jax.device_put(np.asarray(labels_u8, np.uint8), rep))
+        step = make_dataset_train_step(
+            self.model, self.optimizer, cw,
+            warp_amplitude=warp_amplitude, remat=self.cfg.remat)
+        self._data_step = jax.jit(step, donate_argnums=(0, 1))
+        self._data_key = jax.random.PRNGKey(seed)
+
+    def train_on_indices(self, idx):
+        """One step on corpus rows `idx`. Returns the loss as a DEVICE
+        array — convert (float()) only when logging, to avoid a host
+        sync every step."""
+        self._data_key, sub = jax.random.split(self._data_key)
+        with self.mesh:
+            self.params, self.opt_state, loss = self._data_step(
+                self.params, self.opt_state, *self._data,
+                jnp.asarray(idx, jnp.int32), sub)
+        return loss
 
     def save(self, path, meta):
         from origami_tpu.models import registry

@@ -289,3 +289,94 @@ def test_union_hole_does_not_erase_other_polygon():
         u = raster_union_all(order)
         assert u.area == pytest.approx(1600.0, rel=0.02)
         assert u.contains_points(np.array([[20.0, 20.0]]))[0]
+
+
+def test_point_to_line_distance_regression():
+    # a degenerate (point) "segment" used to register as collinear with
+    # ANY segment it projected onto, zeroing line<->point distances
+    l = G.LineString([(0, 0), (10, 0)])
+    assert l.distance(G.Point(1.0, 2.0)) == pytest.approx(2.0)
+    assert l.distance(G.Point(5.0, 0.0)) == pytest.approx(0.0)
+    assert l.distance(G.Point(12.0, 0.0)) == pytest.approx(2.0)
+    assert not l.intersects(G.Point(3.0, 0.5))
+    assert l.intersects(G.Point(3.0, 0.0))
+    box = G.box(0, 0, 4, 4)
+    assert box.distance(G.Point(7, 0)) == pytest.approx(3.0)
+
+
+def _poly_area(g):
+    return 0.0 if g.is_empty else g.area
+
+
+def test_exact_boolean_basics():
+    A = G.box(0, 0, 10, 10)
+    B = G.box(5, 5, 15, 15)
+    assert A.intersection(B).area == pytest.approx(25.0, abs=1e-9)
+    assert A.union(B).area == pytest.approx(175.0, abs=1e-9)
+    assert A.difference(B).area == pytest.approx(75.0, abs=1e-9)
+    # holes appear exactly
+    E = G.box(2, 2, 8, 8)
+    d = A.difference(E)
+    assert d.area == pytest.approx(64.0, abs=1e-9)
+    assert d.geom_type == "Polygon" and len(d.np_holes) == 1
+    # shared edges: no sliver, no double counting
+    D = G.box(10, 0, 20, 10)
+    assert A.intersection(D).area == pytest.approx(0.0, abs=1e-9)
+    assert A.union(D).area == pytest.approx(200.0, abs=1e-9)
+
+
+def test_exact_boolean_box_torture():
+    rng = np.random.default_rng(5)
+    for _ in range(80):
+        x0, y0 = rng.integers(0, 6, 2)
+        w, h = rng.integers(1, 6, 2)
+        X0, Y0 = rng.integers(0, 6, 2)
+        W, H = rng.integers(1, 6, 2)
+        A = G.box(x0, y0, x0 + w, y0 + h)
+        B = G.box(X0, Y0, X0 + W, Y0 + H)
+        ia = max(0, min(x0 + w, X0 + W) - max(x0, X0)) \
+            * max(0, min(y0 + h, Y0 + H) - max(y0, Y0))
+        assert _poly_area(A.intersection(B)) == pytest.approx(
+            float(ia), abs=1e-9)
+        assert _poly_area(A.union(B)) == pytest.approx(
+            float(w * h + W * H - ia), abs=1e-9)
+        assert _poly_area(A.difference(B)) == pytest.approx(
+            float(w * h - ia), abs=1e-9)
+
+
+def test_exact_boolean_concave_invariants():
+    def star(cx, cy, r1, r2, k, rng):
+        # distinct sorted angles with a minimum gap -> simple polygon
+        angles = np.sort(rng.random(2 * k)) * 2 * np.pi
+        while np.min(np.diff(angles)) < 0.05:
+            angles = np.sort(rng.random(2 * k)) * 2 * np.pi
+        rs = np.where(np.arange(2 * k) % 2 == 0, r2, r1)
+        return G.Polygon(np.stack(
+            [cx + rs * np.cos(angles), cy + rs * np.sin(angles)], 1))
+
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        A = star(45, 45, 12, 30, 5, rng)
+        B = star(55, 50, 10, 28, 6, rng)
+        i = _poly_area(A.intersection(B))
+        u = _poly_area(A.union(B))
+        d = _poly_area(A.difference(B))
+        assert i + d == pytest.approx(A.area, abs=1e-6)
+        assert u == pytest.approx(A.area + B.area - i, abs=1e-6)
+
+
+def test_exact_nary_union():
+    from origami_tpu.geometry import unary_union
+    parts = [G.box(0, 0, 10, 10), G.box(5, 5, 15, 15),
+             G.box(8, 0, 12, 6), G.box(30, 30, 40, 40)]
+    u = unary_union(parts)
+    rng = np.random.default_rng(0)
+    pts = rng.random((200000, 2)) * 50
+    cov = np.zeros(len(pts), bool)
+    for p in parts:
+        cov |= p.contains_points(pts)
+    assert u.area == pytest.approx(cov.mean() * 2500, abs=3.0)
+    assert u.geom_type == "MultiPolygon" and len(u.geoms) == 2
+    # union of touching boxes dissolves the shared edge exactly
+    u2 = unary_union([G.box(0, 0, 5, 10), G.box(5, 0, 10, 10)])
+    assert u2.area == pytest.approx(100.0, abs=1e-9)

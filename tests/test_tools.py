@@ -288,3 +288,40 @@ def test_ocr_pack_strip_wide_line_downscales():
     # in-range strips pass through untouched
     inv2, w2 = pack_strip(strip[:, :500], 2048, 48)
     assert w2 == 500 and inv2.shape == (48, 500)
+
+
+def test_pagexml_xsd_validation():
+    from origami_tpu.pagexml.pagexml import Page
+    doc = Page("x.png", (800, 1200))
+    r = doc.append_region("TextRegion", "r_1", region_type="paragraph")
+    r.append_coords([(0, 0), (100, 0), (100, 50), (0, 50)])
+    tl = r.append_text_line("l_1")
+    tl.append_coords([(0, 0), (100, 0), (100, 20), (0, 20)])
+    tl.append_baseline([(0, 18), (100, 18)])
+    tl.append_text_equiv("hello", confidence=0.9)
+    r.append_text_equiv("hello")
+    t = doc.append_region("TableRegion", "t_1")
+    t.append_coords([(0, 100), (200, 100), (200, 200), (0, 200)])
+    c = t.append_table_cell(0, 1, cell_id="t_1_c01", col_span=2)
+    c.append_coords([(0, 100), (100, 100), (100, 150), (0, 150)])
+    c.append_text_equiv("42")
+    g = doc.append_region("GraphicRegion", "g_1")
+    g.append_coords([(300, 300), (400, 300), (400, 400), (300, 400)])
+    doc.append_reading_order(["r_1", "t_1", "g_1"])
+    assert doc.validate()
+    # the schema itself is enforced: TextEquiv on a GraphicRegion is
+    # structurally fine but schema-invalid
+    g.append_text_equiv("not allowed here")
+    with pytest.raises(ValueError, match="schema"):
+        doc.validate()
+
+
+def test_pagexml_xsd_rejects_missing_line_id():
+    from origami_tpu.pagexml.pagexml import Page
+    doc = Page("x.png", (100, 100))
+    r = doc.append_region("TextRegion", "r_1")
+    r.append_coords([(0, 0), (10, 0), (10, 10)])
+    r.append_text_line()   # TextLine @id is required by the schema
+    with pytest.raises(ValueError, match="schema"):
+        doc.validate()
+    assert doc.validate(xsd=False)   # structural-only path still passes

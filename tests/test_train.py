@@ -164,3 +164,116 @@ def test_page_annotations(tmp_path, rng):
     with pytest.raises(FileNotFoundError):
         PIL.Image.fromarray(img).save(tmp_path / "q.png")
         load_page_annotations(tmp_path / "q.png")
+
+
+def test_merge_obstacle_veto():
+    # two collinear separator fragments; an obstacle between them must
+    # veto the join (reference SegmentJoiner behavior)
+    import numpy as np
+    from origami_tpu.core.polyline import Polyline
+    from origami_tpu.train.segment.segments import merge_by_distance
+    a = Polyline([(0, 50), (40, 50)], width=2)
+    b = Polyline([(55, 50), (95, 50)], width=2)
+    free = merge_by_distance([a, b], max_gap=20)
+    assert len(free) == 1
+    obstacles = np.zeros((100, 100), bool)
+    obstacles[45:55, 46:50] = True   # ink in the gap
+    blocked = merge_by_distance([a, b], max_gap=20, obstacles=obstacles)
+    assert len(blocked) == 2
+
+
+def test_filter_by_quality():
+    from origami_tpu.core.polyline import Polyline
+    from origami_tpu.train.segment.segments import (filter_by_quality,
+                                                    run_merge_pipeline)
+    good = Polyline([(0, 0), (200, 0)], width=2, error=0.1)
+    bad = Polyline([(0, 10), (200, 14)], width=2, error=1.4)
+    short = Polyline([(0, 20), (4, 20)], width=2, error=0.0)
+    kept = filter_by_quality([good, bad, short], max_error=0.5,
+                             min_length=0.02, shape=(500, 400))
+    assert kept == [good]
+    # config-driven pipeline applies the same strategy
+    kept2 = run_merge_pipeline(
+        [good, bad, short],
+        [dict(strategy="by_quality",
+              args=dict(max_error=0.5, min_length=0.02))],
+        shape=(500, 400))
+    assert kept2 == [good]
+
+
+def test_extract_segments_fit_error():
+    import numpy as np
+    from origami_tpu.core.math import Orientation
+    from origami_tpu.train.segment.segments import extract_segments
+    mask = np.zeros((60, 200), np.uint8)
+    mask[30:32, 10:190] = 1            # clean straight separator
+    segs = extract_segments(mask, Orientation.H)
+    assert len(segs) == 1
+    assert segs[0].error < 0.6
+    blob = np.zeros((60, 200), np.uint8)  # fat blob: bad line fit
+    blob[10:50, 40:160] = 1
+    segs2 = extract_segments(blob, Orientation.H)
+    assert len(segs2) == 1
+    assert segs2[0].error > segs[0].error
+
+
+def test_region_stoppers():
+    import numpy as np
+    from origami_tpu.core.polyline import Polyline
+    from origami_tpu.train.segment.labels import (LabelSet,
+                                                  DEFAULT_BBZ_SPEC)
+    from origami_tpu.train.segment.regions import (AnnotationsGenerator,
+                                                   generate_regions)
+    label_set = LabelSet(DEFAULT_BBZ_SPEC)
+    h, w = 200, 300
+    labels = np.full((h, w), 3, np.uint8)
+    # text ink: two columns separated by a whitespace gutter at x=150,
+    # with a SHORT vertical separator that only spans the middle
+    text = np.zeros((h, w), np.uint8)
+    text[20:180, 20:140] = 1
+    text[20:180, 160:280] = 1
+    sep = Polyline([(150, 60), (150, 140)], width=3)
+    gen = AnnotationsGenerator(
+        label_set, labels, {"V": [sep]},
+        segment_thickness=1.0, segment_extend={"V": 80})
+    master = gen.master
+    stops = gen.stops
+    vidx = label_set.label("separator", "V").index
+    # stops extends the stroke well beyond its master extent
+    assert (stops == vidx).sum() > (master == vidx).sum() * 1.5
+    # region growth: with a wide close kernel the two columns would
+    # merge; the extended stopper keeps them apart
+    merged = generate_regions(text, np.zeros_like(master),
+                              close=(41, 11))
+    assert merged.max() == 1
+    split = generate_regions(text, stops == vidx, close=(41, 11))
+    assert split.max() == 2
+
+
+def test_deskewing_regions():
+    import math
+    import numpy as np
+    from origami_tpu.core.polyline import Polyline
+    from origami_tpu.train.segment.labels import (LabelSet,
+                                                  DEFAULT_BBZ_SPEC)
+    from origami_tpu.train.segment.regions import (AnnotationsGenerator,
+                                                   estimate_skew)
+    label_set = LabelSet(DEFAULT_BBZ_SPEC)
+    angle = 0.03
+    segs = {"H": [Polyline([(10, 50 + i * 30),
+                            (290, 50 + i * 30 + 280 * math.tan(angle))],
+                           width=2) for i in range(4)]}
+    est = estimate_skew(segs)
+    assert abs(est - angle) < 0.01
+    labels = np.full((200, 300), 3, np.uint8)
+    gen = AnnotationsGenerator(label_set, labels, segs)
+    hidx = label_set.label("separator", "H").index
+    master = gen.master
+    # painted separators are level after deskewing: each stroke's
+    # bounding-box height collapses to ~thickness (the skewed stroke
+    # would span 280 * tan(0.03) + 2 ~ 10 px)
+    import cv2
+    n, _, stats, _ = cv2.connectedComponentsWithStats(
+        (master == hidx).astype(np.uint8), 8)
+    heights = [stats[i, 3] for i in range(1, n) if stats[i, 4] > 50]
+    assert heights and max(heights) <= 6
