@@ -1,23 +1,41 @@
-"""Benchmark: device pipeline throughput on real hardware.
+"""Benchmark: device segmentation throughput AND the full detect chain.
 
-Measures the dominant compute of the reference pipeline — full-quality
-ensemble page segmentation (2 predictors x 5-model softmax-sum voting,
-reference origami/core/segment.py:97-135) — with the TPU-native model
-design defined once in origami_tpu.models.flagship (the same graph the
-driver compile-checks via __graft_entry__.entry).
+Two measurements on real hardware:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the north-star target of 10 pages/sec/chip (BASELINE.md).
+  * segment_quality: the dominant compute of the reference pipeline —
+    full-quality ensemble page segmentation (2 predictors x 5-model
+    softmax-sum voting, reference origami/core/segment.py:97-135) with
+    the TPU-native flagship graph (origami_tpu.models.flagship, the
+    same graph the driver compile-checks via __graft_entry__.entry).
+
+  * end_to_end: segment -> contours -> flow -> dewarp -> layout ->
+    lines -> order -> ocr -> compose over a synthetic newspaper corpus
+    (train.synth), i.e. the reference's whole detect chain
+    (README.md:138-153). A 2-page warmup corpus absorbs jit compiles
+    (the persistent compilation cache keeps them warm across runs);
+    the timed corpus runs all nine stages back to back. OCR runs a
+    production-size randomly-initialized recognizer (realistic device
+    cost); segmentation uses the heuristic device segmenter, whose
+    downstream artifact load matches trained models on this corpus.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+value/vs_baseline track END-TO-END pages/s against the 10 pages/s/chip
+north star (BASELINE.md); segmentation-only throughput is reported in
+the extra fields.
 
 NB: under the axon tunnel block_until_ready is not a reliable fence;
-timing materializes scalars from results and perturbs inputs.
+device timing materializes scalars from results and perturbs inputs.
 """
 
 import json
+import os
+import shutil
+import tempfile
 import time
+from pathlib import Path
 
 
-def main():
+def bench_segmentation():
     import jax
     from origami_tpu.models.flagship import build_flagship
 
@@ -29,21 +47,94 @@ def main():
         return float(out[0][0, 0, 0]) + float(out[1][-1, -1, -1])
 
     fence(segment(stack_a, stack_b, pages0))   # compile + settle
-
     times = []
     for i in range(3):
         pages = pages0 + (i + 1)
         t0 = time.perf_counter()
         fence(segment(stack_a, stack_b, pages))
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    return batch / min(times)
 
-    pages_per_sec = batch / dt
+
+def _make_corpus(root, n_pages, seed):
+    import PIL.Image
+    from origami_tpu.train.synth import render_page
+    root.mkdir(parents=True, exist_ok=True)
+    for i in range(n_pages):
+        page = render_page(seed + i)
+        PIL.Image.fromarray(page.image).save(
+            str(root / ("p%04d.png" % i)))
+
+
+def _stages(recognizer_dir):
+    from origami_tpu.batch.detect.compose import ComposeProcessor
+    from origami_tpu.batch.detect.contours import ContoursProcessor
+    from origami_tpu.batch.detect.dewarp import DewarpProcessor
+    from origami_tpu.batch.detect.flow import FlowDetectionProcessor
+    from origami_tpu.batch.detect.layout import LayoutDetectionProcessor
+    from origami_tpu.batch.detect.lines import LineDetectionProcessor
+    from origami_tpu.batch.detect.ocr import OCRProcessor
+    from origami_tpu.batch.detect.order import ReadingOrderProcessor
+    from origami_tpu.batch.detect.segment import SegmentationProcessor
+
+    def opts(**kw):
+        return dict(lock_strategy="NONE", plain=True, **kw)
+
+    return [
+        ("segment", SegmentationProcessor("heuristic", opts())),
+        ("contours", ContoursProcessor(opts())),
+        ("flow", FlowDetectionProcessor(opts())),
+        ("dewarp", DewarpProcessor(opts())),
+        ("layout", LayoutDetectionProcessor(opts(layout="bbz"))),
+        ("lines", LineDetectionProcessor(opts())),
+        ("order", ReadingOrderProcessor(opts())),
+        ("ocr", OCRProcessor(opts(model=str(recognizer_dir)))),
+        ("compose", ComposeProcessor(opts())),
+    ]
+
+
+def bench_end_to_end(n_pages=6):
+    from origami_tpu.models import registry
+    from origami_tpu.train.synth import CHARSET
+
+    work = Path(tempfile.mkdtemp(prefix="origami_bench_"))
+    try:
+        rec_dir = work / "recognizer"
+        registry.init_and_save(rec_dir, dict(
+            kind="recognizer", charset=CHARSET, height=48,
+            conv_features=[64, 128, 256], lstm_features=256,
+            version=1))
+
+        warm = work / "warmup"
+        _make_corpus(warm, 2, seed=91_000_000)
+        for name, proc in _stages(rec_dir):
+            proc.traverse(warm)
+
+        corpus = work / "corpus"
+        _make_corpus(corpus, n_pages, seed=92_000_000)
+        per_stage = {}
+        t_all = time.perf_counter()
+        for name, proc in _stages(rec_dir):
+            t0 = time.perf_counter()
+            proc.traverse(corpus)
+            per_stage[name] = round(time.perf_counter() - t0, 2)
+        total = time.perf_counter() - t_all
+        return n_pages / total, per_stage
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main():
+    seg_pps = bench_segmentation()
+    e2e_pps, per_stage = bench_end_to_end()
     print(json.dumps(dict(
-        metric="segment_quality_pages_per_sec_per_chip",
-        value=round(pages_per_sec, 3),
+        metric="detect_chain_pages_per_sec_per_chip",
+        value=round(e2e_pps, 3),
         unit="pages/s",
-        vs_baseline=round(pages_per_sec / 10.0, 3))))
+        vs_baseline=round(e2e_pps / 10.0, 3),
+        segment_quality_pages_per_sec=round(seg_pps, 3),
+        stage_seconds=per_stage,
+        host_cores=os.cpu_count())))
 
 
 if __name__ == "__main__":

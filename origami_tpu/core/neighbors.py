@@ -39,9 +39,10 @@ def neighbors(contours, fringe_ratio=0.02):
             if int(j) > i:
                 cands.add((i, int(j)))
 
+    from origami_tpu.geometry.ops import dwithin
     cents = [p.centroid for p in polys]
     for i, j in cands:
-        if polys[i].distance(polys[j]) > fringe:
+        if not dwithin(polys[i], polys[j], fringe):
             continue
         # occlusion: skip if the connecting segment crosses another region
         conn = G.LineString([(cents[i].x, cents[i].y),

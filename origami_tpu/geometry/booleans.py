@@ -323,11 +323,32 @@ def _apply_op(label, op):
     return a != b
 
 
+USE_NATIVE = True
+
+
+def _try_native(ring_groups, op):
+    if not USE_NATIVE:
+        return None
+    try:
+        from origami_tpu.geometry.native_bindings import (
+            polygon_overlay_native)
+        return polygon_overlay_native(ring_groups, op)
+    except Exception:
+        return None
+
+
 def polygon_boolean(subject_rings, clipping_rings, op):
     """Boolean of two ring-lists. Returns [(shell, holes), ...] with
     shells CCW (positive shoelace) and holes CW.
 
-    op: "and" | "or" | "diff" | "xor" (geometry.ops vocabulary)."""
+    op: "and" | "or" | "diff" | "xor" (geometry.ops vocabulary).
+
+    The C++ kernel (geometry/native, polygon_overlay) implements the
+    same arrangement algorithm and serves the hot path; this module is
+    the reference implementation and fallback."""
+    res = _try_native([subject_rings, clipping_rings], op)
+    if res is not None:
+        return res
     return overlay_arrangement(
         [subject_rings, clipping_rings], lambda l: _apply_op(l, op))
 
@@ -335,6 +356,9 @@ def polygon_boolean(subject_rings, clipping_rings, op):
 def union_all(ring_groups):
     """Exact union of MANY polygons in one arrangement pass: member =
     covered by at least one input. ring_groups: list of ring-lists."""
+    res = _try_native(ring_groups, "any")
+    if res is not None:
+        return res
     return overlay_arrangement(ring_groups, any)
 
 

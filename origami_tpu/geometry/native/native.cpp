@@ -194,3 +194,513 @@ int trace_skeleton(const uint8_t* skel, int h, int w,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// polygon boolean overlay (C++ port of geometry/booleans.py):
+// 1. subdivide every edge at all cross-group intersections,
+// 2. walk the faces of the full arrangement (half-edges, angular
+//    successor) and label them by parity BFS (one even-odd probe per
+//    connected component),
+// 3. re-walk the boundary edges of the requested operation into
+//    shells (CCW) and holes (CW), nesting holes into shells.
+// ---------------------------------------------------------------------------
+
+#include <cmath>
+#include <map>
+#include <unordered_map>
+#include <utility>
+
+namespace ovl {
+
+static const double kEps = 1e-9;
+static const double kSnap = 1e7;
+
+struct Seg { double x0, y0, x1, y1; int group; };
+typedef std::pair<int64_t, int64_t> VKey;
+typedef std::pair<VKey, VKey> DKey;   // directed edge key
+
+struct VKeyHash {
+    size_t operator()(const VKey& k) const {
+        return std::hash<int64_t>()(k.first * 1000003ll ^ k.second);
+    }
+};
+
+struct DKeyHash {
+    size_t operator()(const DKey& k) const {
+        VKeyHash h;
+        return h(k.first) * 1000003ull ^ h(k.second);
+    }
+};
+
+static inline VKey snap(double x, double y) {
+    return VKey(llround(x * kSnap), llround(y * kSnap));
+}
+
+// even-odd membership of (x, y) against the rings of one group
+static bool contains(const double* coords, const int* ring_sizes,
+                     const int* ring_groups, int n_rings, int group,
+                     double x, double y) {
+    bool inside = false;
+    const double* p = coords;
+    for (int r = 0; r < n_rings; r++) {
+        int n = ring_sizes[r];
+        if (ring_groups[r] != group) { p += 2 * n; continue; }
+        int cross = 0;
+        for (int i = 0; i < n; i++) {
+            double ax = p[2 * i], ay = p[2 * i + 1];
+            int j = (i + 1) % n;
+            double bx = p[2 * j], by = p[2 * j + 1];
+            if ((ay > y) != (by > y)) {
+                double xi = ax + (y - ay) / (by - ay) * (bx - ax);
+                if (x < xi) cross++;
+            }
+        }
+        if (cross & 1) inside = !inside;
+        p += 2 * n;
+    }
+    return inside;
+}
+
+struct Overlay {
+    std::vector<Seg> segs;
+    int n_groups;
+    int words;                       // label bitmask words
+
+    // subdivided edges
+    std::vector<VKey> everts;        // per edge: endpoints
+    std::vector<std::pair<VKey, VKey>> edges;
+    std::vector<std::vector<uint64_t>> parity;
+    std::unordered_map<VKey, std::pair<double, double>, VKeyHash> vpos;
+
+    void subdivide() {
+        size_t n = segs.size();
+        std::vector<std::vector<double>> params(n);
+        // bbox prune + pairwise intersection (different groups only —
+        // valid inputs have no self-crossings within a group)
+        for (size_t i = 0; i < n; i++) {
+            const Seg& a = segs[i];
+            double aminx = std::min(a.x0, a.x1) - kEps;
+            double amaxx = std::max(a.x0, a.x1) + kEps;
+            double aminy = std::min(a.y0, a.y1) - kEps;
+            double amaxy = std::max(a.y0, a.y1) + kEps;
+            double rx = a.x1 - a.x0, ry = a.y1 - a.y0;
+            double rr = rx * rx + ry * ry;
+            for (size_t j = 0; j < n; j++) {
+                if (i == j) continue;
+                const Seg& b = segs[j];
+                // no same-group skip: like the Python reference, a
+                // self-intersecting (invalid) input still gets split
+                // and labeled even-odd consistently
+                if (std::max(b.x0, b.x1) < aminx ||
+                    std::min(b.x0, b.x1) > amaxx ||
+                    std::max(b.y0, b.y1) < aminy ||
+                    std::min(b.y0, b.y1) > amaxy) continue;
+                double sx = b.x1 - b.x0, sy = b.y1 - b.y0;
+                double denom = rx * sy - ry * sx;
+                double qpx = b.x0 - a.x0, qpy = b.y0 - a.y0;
+                double cqr = qpx * ry - qpy * rx;
+                double cqs = qpx * sy - qpy * sx;
+                if (std::fabs(denom) > kEps) {
+                    double t = cqs / denom;
+                    double u = cqr / denom;
+                    const double tol = 1e-12;
+                    if (t >= -tol && t <= 1 + tol &&
+                        u >= -tol && u <= 1 + tol) {
+                        params[i].push_back(
+                            std::min(std::max(t, 0.0), 1.0));
+                    }
+                } else if (std::fabs(cqr) < 1e-9 && rr > kEps) {
+                    // collinear overlap: project b's endpoints
+                    double t0 = ((b.x0 - a.x0) * rx +
+                                 (b.y0 - a.y0) * ry) / rr;
+                    double t1 = ((b.x1 - a.x0) * rx +
+                                 (b.y1 - a.y0) * ry) / rr;
+                    if (t0 > 1e-12 && t0 < 1 - 1e-12)
+                        params[i].push_back(t0);
+                    if (t1 > 1e-12 && t1 < 1 - 1e-12)
+                        params[i].push_back(t1);
+                }
+            }
+        }
+        std::map<std::pair<VKey, VKey>, int> edge_idx;
+        for (size_t i = 0; i < n; i++) {
+            const Seg& a = segs[i];
+            std::vector<double>& ts = params[i];
+            ts.push_back(0.0);
+            ts.push_back(1.0);
+            std::sort(ts.begin(), ts.end());
+            double rx = a.x1 - a.x0, ry = a.y1 - a.y0;
+            double px = a.x0, py = a.y0;
+            VKey pk = snap(px, py);
+            vpos[pk] = std::make_pair(px, py);
+            for (size_t s = 1; s < ts.size(); s++) {
+                if (ts[s] - ts[s - 1] < 1e-12) continue;
+                double qx = a.x0 + ts[s] * rx, qy = a.y0 + ts[s] * ry;
+                VKey qk = snap(qx, qy);
+                if (qk == pk) continue;
+                vpos[qk] = std::make_pair(qx, qy);
+                std::pair<VKey, VKey> key =
+                    (pk < qk) ? std::make_pair(pk, qk)
+                              : std::make_pair(qk, pk);
+                auto it = edge_idx.find(key);
+                int ei;
+                if (it == edge_idx.end()) {
+                    ei = (int)edges.size();
+                    edge_idx[key] = ei;
+                    edges.push_back(key);
+                    parity.push_back(std::vector<uint64_t>(words, 0));
+                } else {
+                    ei = it->second;
+                }
+                parity[ei][a.group >> 6] ^= (1ull << (a.group & 63));
+                pk = qk;
+                px = qx; py = qy;
+            }
+        }
+    }
+
+    // face graph over a given edge list; returns cycles + half->cycle
+    struct Faces {
+        std::vector<std::vector<VKey>> cycles;   // vertex keys
+        std::vector<int> cycle_of;               // per half-edge
+        std::vector<std::pair<VKey, VKey>> half; // directed
+        std::unordered_map<VKey, std::vector<std::pair<double, int>>,
+                           VKeyHash> out;
+        std::unordered_map<DKey, int, DKeyHash> half_of;
+    };
+
+    static DKey dirhash(const VKey& a, const VKey& b) {
+        return DKey(a, b);
+    }
+
+    void build_faces(const std::vector<std::pair<VKey, VKey>>& es,
+                     Faces& f) {
+        f.half.reserve(es.size() * 2);
+        for (auto& e : es) {
+            f.half.push_back(std::make_pair(e.first, e.second));
+            f.half.push_back(std::make_pair(e.second, e.first));
+        }
+        for (int h = 0; h < (int)f.half.size(); h++) {
+            const VKey& a = f.half[h].first;
+            const VKey& b = f.half[h].second;
+            auto pa = vpos[a];
+            auto pb = vpos[b];
+            double ang = atan2(pb.second - pa.second,
+                               pb.first - pa.first);
+            f.out[a].push_back(std::make_pair(ang, h));
+            f.half_of[dirhash(a, b)] = h;
+        }
+        std::unordered_map<int, std::pair<VKey, int>> pos_of;
+        for (auto& kv : f.out) {
+            std::sort(kv.second.begin(), kv.second.end());
+        }
+        // position of each half edge within its out-list
+        std::unordered_map<int, int> idx_of;
+        for (auto& kv : f.out)
+            for (int k = 0; k < (int)kv.second.size(); k++)
+                idx_of[kv.second[k].second] = k;
+
+        f.cycle_of.assign(f.half.size(), -1);
+        for (int h0 = 0; h0 < (int)f.half.size(); h0++) {
+            if (f.cycle_of[h0] >= 0) continue;
+            int cid = (int)f.cycles.size();
+            f.cycles.push_back(std::vector<VKey>());
+            int h = h0;
+            while (f.cycle_of[h] < 0) {
+                f.cycle_of[h] = cid;
+                f.cycles[cid].push_back(f.half[h].first);
+                // successor: angular predecessor of the reversal
+                int rev = h ^ 1;
+                const VKey& head = f.half[rev].first;
+                auto& lst = f.out[head];
+                int k = idx_of[rev];
+                int k2 = (k - 1 + (int)lst.size()) % (int)lst.size();
+                h = lst[k2].second;
+            }
+        }
+    }
+
+    double ring_area(const std::vector<VKey>& cyc) {
+        double a = 0;
+        int n = (int)cyc.size();
+        for (int i = 0; i < n; i++) {
+            auto p = vpos[cyc[i]];
+            auto q = vpos[cyc[(i + 1) % n]];
+            a += p.first * q.second - q.first * p.second;
+        }
+        return 0.5 * a;
+    }
+};
+
+}  // namespace ovl
+
+extern "C" {
+
+// op: 0=and 1=or 2=diff 3=xor 4=any (n-ary union)
+// returns #output rings, or -1 if capacities are insufficient.
+// out_ring_poly[i]: polygon id of output ring i (shell first per id).
+int polygon_overlay(const double* coords, const int* ring_sizes,
+                    const int* ring_groups, int n_rings, int n_groups,
+                    int op,
+                    double* out_coords, int out_coords_cap,
+                    int* out_ring_sizes, int* out_ring_poly,
+                    int out_rings_cap) {
+    using namespace ovl;
+    Overlay ov;
+    ov.n_groups = n_groups;
+    ov.words = (n_groups + 63) / 64;
+
+    const double* p = coords;
+    for (int r = 0; r < n_rings; r++) {
+        int n = ring_sizes[r];
+        for (int i = 0; i < n; i++) {
+            int j = (i + 1) % n;
+            double x0 = p[2 * i], y0 = p[2 * i + 1];
+            double x1 = p[2 * j], y1 = p[2 * j + 1];
+            if (std::fabs(x1 - x0) < kEps && std::fabs(y1 - y0) < kEps)
+                continue;
+            ov.segs.push_back(Seg{x0, y0, x1, y1, ring_groups[r]});
+        }
+        p += 2 * n;
+    }
+    if (ov.segs.empty()) return 0;
+
+    ov.subdivide();
+
+    Overlay::Faces full;
+    ov.build_faces(ov.edges, full);
+    int ncyc = (int)full.cycles.size();
+
+    // parity BFS over cycles
+    std::vector<std::vector<uint64_t>> labels(
+        ncyc, std::vector<uint64_t>());
+    std::vector<std::vector<std::pair<int, int>>> adj(ncyc);
+    for (int ei = 0; ei < (int)ov.edges.size(); ei++) {
+        const VKey& a = ov.edges[ei].first;
+        const VKey& b = ov.edges[ei].second;
+        int h1 = full.half_of[Overlay::dirhash(a, b)];
+        int h2 = full.half_of[Overlay::dirhash(b, a)];
+        int c1 = full.cycle_of[h1], c2 = full.cycle_of[h2];
+        if (c1 != c2) {
+            adj[c1].push_back(std::make_pair(c2, ei));
+            adj[c2].push_back(std::make_pair(c1, ei));
+        }
+    }
+    std::vector<int> comp(ncyc, -1);
+    for (int s = 0; s < ncyc; s++) {
+        if (comp[s] >= 0) continue;
+        std::vector<int> members;
+        members.push_back(s);
+        comp[s] = s;
+        for (size_t qi = 0; qi < members.size(); qi++) {
+            int c = members[qi];
+            for (auto& dn : adj[c])
+                if (comp[dn.first] < 0) {
+                    comp[dn.first] = s;
+                    members.push_back(dn.first);
+                }
+        }
+        // seed: unbounded cycle (most negative area); probe just left
+        // of the component's leftmost vertex
+        int outer = members[0];
+        double best = 1e300;
+        double minx = 1e300, miny = 0, maxx = -1e300;
+        for (int c : members) {
+            double a = ov.ring_area(full.cycles[c]);
+            if (a < best) { best = a; outer = c; }
+            for (auto& vk : full.cycles[c]) {
+                auto pp = ov.vpos[vk];
+                if (pp.first < minx) { minx = pp.first;
+                                       miny = pp.second; }
+                if (pp.first > maxx) maxx = pp.first;
+            }
+        }
+        double span = std::max(maxx - minx, 1.0);
+        double px = minx - 1e-6 * span, py = miny;
+        std::vector<uint64_t> seed(ov.words, 0);
+        for (int g = 0; g < n_groups; g++)
+            if (contains(coords, ring_sizes, ring_groups, n_rings, g,
+                         px, py))
+                seed[g >> 6] |= (1ull << (g & 63));
+        labels[outer] = seed;
+        std::vector<int> stack;
+        stack.push_back(outer);
+        while (!stack.empty()) {
+            int c = stack.back(); stack.pop_back();
+            for (auto& dn : adj[c]) {
+                if (!labels[dn.first].empty()) continue;
+                std::vector<uint64_t> lab = labels[c];
+                for (int w = 0; w < ov.words; w++)
+                    lab[w] ^= ov.parity[dn.second][w];
+                labels[dn.first] = lab;
+                stack.push_back(dn.first);
+            }
+        }
+    }
+
+    auto member = [&](const std::vector<uint64_t>& lab) -> bool {
+        bool a = lab[0] & 1, b = lab[0] & 2;
+        switch (op) {
+            case 0: return a && b;
+            case 1: return a || b;
+            case 2: return a && !b;
+            case 3: return a != b;
+            default: {
+                for (int w = 0; w < ov.words; w++)
+                    if (lab[w]) return true;
+                return false;
+            }
+        }
+    };
+    std::vector<char> in_res(ncyc);
+    for (int c = 0; c < ncyc; c++)
+        in_res[c] = labels[c].empty() ? 0 : (char)member(labels[c]);
+
+    // boundary edges + result side per directed key
+    std::vector<std::pair<VKey, VKey>> bedges;
+    std::unordered_map<DKey, char, DKeyHash> side;
+    for (int ei = 0; ei < (int)ov.edges.size(); ei++) {
+        const VKey& a = ov.edges[ei].first;
+        const VKey& b = ov.edges[ei].second;
+        int h1 = full.half_of[Overlay::dirhash(a, b)];
+        int c1 = full.cycle_of[h1];
+        int c2 = full.cycle_of[full.half_of[Overlay::dirhash(b, a)]];
+        if (in_res[c1] != in_res[c2]) {
+            bedges.push_back(ov.edges[ei]);
+            side[Overlay::dirhash(a, b)] = in_res[c1];
+            side[Overlay::dirhash(b, a)] = in_res[c2];
+        }
+    }
+    if (bedges.empty()) return 0;
+
+    Overlay::Faces outf;
+    ov.build_faces(bedges, outf);
+
+    struct Ring { std::vector<VKey> cyc; double area; };
+    std::vector<Ring> shells, holes;
+    for (int cid = 0; cid < (int)outf.cycles.size(); cid++) {
+        auto& cyc = outf.cycles[cid];
+        if (cyc.size() < 3) continue;
+        double a = ov.ring_area(cyc);
+        if (std::fabs(a) < kEps) continue;
+        // label lookup from the full arrangement via any half edge
+        int h = -1;
+        for (int hh = 0; hh < (int)outf.half.size(); hh++)
+            if (outf.cycle_of[hh] == cid) { h = hh; break; }
+        char lab = side[Overlay::dirhash(outf.half[h].first,
+                                         outf.half[h].second)];
+        if (!lab) continue;
+        Ring r; r.cyc = cyc; r.area = a;
+        if (a > 0) shells.push_back(r); else holes.push_back(r);
+    }
+
+    // nest holes into the smallest containing shell
+    std::vector<int> order(shells.size());
+    for (size_t i = 0; i < shells.size(); i++) order[i] = (int)i;
+    std::sort(order.begin(), order.end(), [&](int i, int j) {
+        return std::fabs(shells[i].area) < std::fabs(shells[j].area);
+    });
+    std::vector<std::vector<int>> shell_holes(shells.size());
+    for (size_t hi = 0; hi < holes.size(); hi++) {
+        // probe: a vertex of the hole nudged toward its interior is
+        // fragile; use the hole's first vertex for containment since
+        // shells and holes never cross (point-on-boundary is resolved
+        // by even-odd consistently enough at snap precision)
+        auto pp = ov.vpos[holes[hi].cyc[0]];
+        // midpoint of the hole's longest edge, offset left
+        double bx = 0, by = 0, blen = -1;
+        int n = (int)holes[hi].cyc.size();
+        for (int i = 0; i < n; i++) {
+            auto p1 = ov.vpos[holes[hi].cyc[i]];
+            auto p2 = ov.vpos[holes[hi].cyc[(i + 1) % n]];
+            double dx = p2.first - p1.first;
+            double dy = p2.second - p1.second;
+            double L = std::hypot(dx, dy);
+            if (L > blen) {
+                blen = L;
+                double eps = std::max(L * 1e-7, 1e-9);
+                bx = (p1.first + p2.first) / 2 - dy / L * eps;
+                by = (p1.second + p2.second) / 2 + dx / L * eps;
+            }
+        }
+        (void)pp;
+        for (int oi : order) {
+            // even-odd point-in-shell
+            auto& cyc = shells[oi].cyc;
+            int m = (int)cyc.size();
+            int cross = 0;
+            for (int i = 0; i < m; i++) {
+                auto p1 = ov.vpos[cyc[i]];
+                auto p2 = ov.vpos[cyc[(i + 1) % m]];
+                if ((p1.second > by) != (p2.second > by)) {
+                    double xi = p1.first + (by - p1.second) /
+                        (p2.second - p1.second) *
+                        (p2.first - p1.first);
+                    if (bx < xi) cross++;
+                }
+            }
+            if (cross & 1) {
+                shell_holes[oi].push_back((int)hi);
+                break;
+            }
+        }
+    }
+
+    // emit
+    int out_r = 0, out_c = 0;
+    for (size_t si = 0; si < shells.size(); si++) {
+        std::vector<std::vector<VKey>*> rings;
+        rings.push_back(&shells[si].cyc);
+        for (int hi : shell_holes[si]) rings.push_back(&holes[hi].cyc);
+        for (auto* rg : rings) {
+            int n = (int)rg->size();
+            if (out_r >= out_rings_cap ||
+                out_c + 2 * n > out_coords_cap)
+                return -1;
+            out_ring_sizes[out_r] = n;
+            out_ring_poly[out_r] = (int)si;
+            for (int i = 0; i < n; i++) {
+                auto pp = ov.vpos[(*rg)[i]];
+                out_coords[out_c++] = pp.first;
+                out_coords[out_c++] = pp.second;
+            }
+            out_r++;
+        }
+    }
+    return out_r;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// minimum distance between two segment sets (vertex-to-segment both
+// ways suffices for non-crossing sets). Early-exits when a pair gets
+// below `cutoff` (pass 0 for the exact minimum).
+double min_seg_dist(const double* sa, int na, const double* sb, int nb,
+                    double cutoff) {
+    double best = 1e300;
+    for (int pass = 0; pass < 2; pass++) {
+        const double* va = pass == 0 ? sa : sb;
+        const double* sg = pass == 0 ? sb : sa;
+        int nv = pass == 0 ? na : nb;
+        int ns = pass == 0 ? nb : na;
+        for (int i = 0; i < nv; i++) {
+            for (int e = 0; e < 2; e++) {
+                double px = va[4 * i + 2 * e];
+                double py = va[4 * i + 2 * e + 1];
+                for (int j = 0; j < ns; j++) {
+                    double d = seg_dist(px, py, sg[4 * j], sg[4 * j + 1],
+                                        sg[4 * j + 2], sg[4 * j + 3]);
+                    if (d < best) {
+                        best = d;
+                        if (best <= cutoff) return best;
+                    }
+                }
+            }
+        }
+    }
+    return best;
+}
+
+}  // extern "C"

@@ -94,3 +94,108 @@ def trace_skeleton_native(skel):
     if n < 0:
         return None
     return [data[offs[i]: offs[i + 1]] for i in range(n)]
+
+
+def _bind_overlay(lib):
+    if getattr(lib, "_overlay_bound", False):
+        return
+    lib.polygon_overlay.restype = ctypes.c_int
+    lib.polygon_overlay.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int]
+    lib._overlay_bound = True
+
+
+_OP_CODES = {"and": 0, "or": 1, "diff": 2, "xor": 3, "any": 4}
+
+
+def polygon_overlay_native(ring_groups, op):
+    """ring_groups: list of ring-lists ((N,2) float arrays); op in
+    {"and","or","diff","xor","any"}. Returns [(shell, holes), ...] as
+    float64 arrays, or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    _bind_overlay(lib)
+    rings = []
+    groups = []
+    for gi, rg in enumerate(ring_groups):
+        for r in rg:
+            c = np.asarray(r, np.float64)
+            if len(c) >= 2 and np.allclose(c[0], c[-1]):
+                c = c[:-1]
+            if len(c) >= 3:
+                rings.append(np.ascontiguousarray(c))
+                groups.append(gi)
+    if not rings:
+        return []
+    coords = np.ascontiguousarray(np.vstack(rings).ravel())
+    sizes = np.asarray([len(r) for r in rings], np.int32)
+    garr = np.asarray(groups, np.int32)
+    n_pts = int(sizes.sum())
+
+    cap_c = max(8 * 2 * n_pts, 4096)
+    cap_r = max(8 * len(rings) + 64, 256)
+    for _ in range(4):
+        out_c = np.zeros(cap_c, np.float64)
+        out_s = np.zeros(cap_r, np.int32)
+        out_p = np.zeros(cap_r, np.int32)
+        m = lib.polygon_overlay(
+            coords.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            garr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            len(rings), len(ring_groups), _OP_CODES[op],
+            out_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            cap_c,
+            out_s.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            out_p.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            cap_r)
+        if m >= 0:
+            break
+        cap_c *= 4
+        cap_r *= 4
+    else:
+        return None
+    polys = {}
+    off = 0
+    for i in range(m):
+        n = int(out_s[i])
+        ring = out_c[2 * off: 2 * (off + n)].reshape(n, 2).copy()
+        off += n
+        pid = int(out_p[i])
+        if pid not in polys:
+            polys[pid] = (ring, [])
+        else:
+            polys[pid][1].append(ring)
+    return [polys[k] for k in sorted(polys)]
+
+
+def _bind_dist(lib):
+    if getattr(lib, "_dist_bound", False):
+        return
+    lib.min_seg_dist.restype = ctypes.c_double
+    lib.min_seg_dist.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.c_double]
+    lib._dist_bound = True
+
+
+def min_seg_dist_native(segs_a, segs_b, cutoff=0.0):
+    """Minimum distance between two (N,4) segment sets, or None when
+    the native library is unavailable. `cutoff` allows early exit as
+    soon as any pair is at most that close."""
+    lib = _load()
+    if lib is None:
+        return None
+    _bind_dist(lib)
+    sa = np.ascontiguousarray(segs_a, np.float64)
+    sb = np.ascontiguousarray(segs_b, np.float64)
+    return float(lib.min_seg_dist(
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(sa),
+        sb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(sb),
+        float(cutoff)))

@@ -128,11 +128,19 @@ def contains(a, b):
     return True
 
 
-def _min_seg_dist(a, b):
+def _min_seg_dist(a, b, cutoff=0.0):
     sa = _segments_of(a)
     sb = _segments_of(b)
     if len(sa) == 0 or len(sb) == 0:
         return float("inf")
+    if len(sa) * len(sb) > 512:
+        try:
+            from .native_bindings import min_seg_dist_native
+            d = min_seg_dist_native(sa, sb, cutoff)
+            if d is not None:
+                return d
+        except Exception:
+            pass
     va = np.vstack([sa[:, :2], sa[:, 2:]])
     vb = np.vstack([sb[:, :2], sb[:, 2:]])
     d1 = _points_to_segments_dist(va, sb).min() if len(vb) else np.inf
@@ -146,6 +154,22 @@ def distance(a, b):
     if intersects(a, b):
         return 0.0
     return _min_seg_dist(a, b)
+
+
+def dwithin(a, b, dist):
+    """True iff distance(a, b) <= dist — with a bbox pre-check and an
+    early-exiting native kernel (the adjacency graph asks this for
+    every candidate region pair)."""
+    if a.is_empty or b.is_empty:
+        return False
+    ab, bb = a.bounds, b.bounds
+    gap_x = max(bb[0] - ab[2], ab[0] - bb[2], 0.0)
+    gap_y = max(bb[1] - ab[3], ab[1] - bb[3], 0.0)
+    if gap_x * gap_x + gap_y * gap_y > dist * dist:
+        return False
+    if intersects(a, b):
+        return True
+    return _min_seg_dist(a, b, cutoff=dist) <= dist
 
 
 def equals(a, b, tol=1e-9):

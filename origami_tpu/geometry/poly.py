@@ -644,20 +644,29 @@ class Polygon(Geometry):
 
     @property
     def is_valid(self):
-        """Simple-polygon check: no self intersections among shell edges."""
+        """Simple-polygon check: no self intersections among shell
+        edges. Memoized — geometries are immutable by convention and
+        layout asks repeatedly."""
+        memo = getattr(self, "_valid_memo", None)
+        if memo is not None:
+            return memo
         c = self._shell
         if len(c) < 3:
-            return False
-        segs = np.c_[c, np.roll(c, -1, axis=0)]
-        n = len(segs)
-        if n > 512:
-            return True  # too expensive; assume fixed upstream
-        pts, ia, ib = _seg_intersections(segs, segs)
-        for i, j in zip(ia, ib):
-            if i == j or (i + 1) % n == j or (j + 1) % n == i:
-                continue
-            return False
-        return True
+            memo = False
+        elif len(c) > 512:
+            memo = True  # too expensive; assume fixed upstream
+        else:
+            segs = np.c_[c, np.roll(c, -1, axis=0)]
+            n = len(segs)
+            memo = True
+            pts, ia, ib = _seg_intersections(segs, segs)
+            for i, j in zip(ia, ib):
+                if i == j or (i + 1) % n == j or (j + 1) % n == i:
+                    continue
+                memo = False
+                break
+        self._valid_memo = memo
+        return memo
 
     def contains_points(self, points):
         """Vectorized containment for an (N,2) array of points."""
