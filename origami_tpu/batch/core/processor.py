@@ -39,16 +39,39 @@ from origami_tpu.core.utils import elapsed_timer
 
 class Watchdog(threading.Thread):
     """Terminates a stalled pool after `timeout` seconds of no completed
-    pages; a second strike hard-exits the process."""
+    pages; a second strike hard-exits the process.
 
-    def __init__(self, pool, timeout, heartbeat):
+    `work_set` (shared dict pid -> (page, since)) is the in-flight work
+    registry the workers maintain (the reference keeps the same
+    bookkeeping in shared memory, origami/batch/core/processor.py:80-163)
+    — on a stall the watchdog names exactly which pages are stuck in
+    which worker, and the caller can reconcile them after termination."""
+
+    def __init__(self, pool, timeout, heartbeat, work_set=None):
         super().__init__(daemon=True)
         self._pool = pool
         self._timeout = timeout
         self._heartbeat = heartbeat
+        self._work_set = work_set
         self._done = threading.Event()
         self._cancelled = False
         self._strikes = 0
+        self.stuck = []
+
+    def _report_stuck(self):
+        if self._work_set is None:
+            return
+        try:
+            now = time.time()
+            for pid, (page, since) in dict(self._work_set).items():
+                age = now - since
+                if age > self._timeout / 2:
+                    self.stuck.append((page, pid, age))
+                    logging.error(
+                        "watchdog: worker %s stuck on %s for %.0fs",
+                        pid, page, age)
+        except Exception:
+            pass
 
     def run(self):
         while not self._done.wait(min(self._timeout / 4, 15)):
@@ -57,6 +80,7 @@ class Watchdog(threading.Thread):
                 if self._strikes == 1:
                     logging.error("watchdog: no progress in %ds, "
                                   "terminating pool", self._timeout)
+                    self._report_stuck()
                     self._cancelled = True
                     self._pool.terminate()
                 else:
@@ -87,24 +111,28 @@ def _chunks(items, n):
 # worker globals (initialized per spawned worker)
 _worker_self = None
 _worker_heartbeat = None
+_worker_work_set = None
 
 
 def _worker_run_chunk(chunk):
     """chunk: [(index, path_str)] — readers/writers are rebuilt in the
     worker (prepare_process), so nothing jax- or lambda-laden crosses
-    the process boundary."""
+    the process boundary. Each page is registered in the shared
+    in-flight work set while it runs."""
     results = []
     for i, path in _worker_self._run_chunk_paths(
             [(i, Path(p)) for i, p in chunk]):
         results.append((i, str(path)))
         if _worker_heartbeat is not None:
             _worker_heartbeat.value = time.time()
+    if _worker_work_set is not None:
+        _worker_work_set.pop(os.getpid(), None)
     return results
 
 
 def _worker_init(factory, factory_args, heartbeat, mutex,
-                 jax_platforms):
-    global _worker_self, _worker_heartbeat
+                 jax_platforms, work_set=None):
+    global _worker_self, _worker_heartbeat, _worker_work_set
     if jax_platforms:
         # inherit the parent's backend choice (spawned children don't
         # see config set after import, and the axon plugin overrides
@@ -114,6 +142,7 @@ def _worker_init(factory, factory_args, heartbeat, mutex,
     _worker_self = factory(*factory_args)
     _worker_self._worker_mutex = mutex
     _worker_heartbeat = heartbeat
+    _worker_work_set = work_set
 
 
 class Processor:
@@ -293,13 +322,18 @@ class Processor:
 
     def _run_chunk_paths(self, chunk):
         """Worker-side variant: chunk = [(i, path)]; readers/writers are
-        constructed here (in the worker process)."""
+        constructed here (in the worker process). The page currently
+        being processed is registered in the shared in-flight work set
+        so the watchdog can name stuck pages."""
         if self._mutex is None:
             self._mutex = self._worker_mutex
         actor = "page" if self._lock_level == "PAGE" else self.processor_name
+        pid = os.getpid()
         with self._mutex.lock(actor,
                               [str(p) for _, p in chunk]) as locked:
             for i, p in chunk:
+                if _worker_work_set is not None:
+                    _worker_work_set[pid] = (str(p), time.time())
                 kwargs = self.prepare_process(p)
                 if kwargs is False:
                     yield i, p
@@ -401,6 +435,8 @@ class Processor:
             # readers/writers from page paths.
             ctx = multiprocessing.get_context("spawn")
             heartbeat = ctx.Value("d", time.time())
+            manager = ctx.Manager()
+            work_set = manager.dict()
             factory, fargs = self.spawn_factory()
             path_chunks = [[(i, str(p)) for i, p, _ in chunk]
                            for chunk in _chunks(queued,
@@ -409,8 +445,10 @@ class Processor:
                           initializer=_worker_init,
                           initargs=(factory, fargs, heartbeat,
                                     self._mutex,
-                                    _current_jax_platforms())) as pool:
-                watchdog = Watchdog(pool, self._timeout, heartbeat)
+                                    _current_jax_platforms(),
+                                    work_set)) as pool:
+                watchdog = Watchdog(pool, self._timeout, heartbeat,
+                                    work_set=work_set)
                 watchdog.start()
                 for results in pool.imap_unordered(
                         _worker_run_chunk, path_chunks):

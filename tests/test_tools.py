@@ -325,3 +325,36 @@ def test_pagexml_xsd_rejects_missing_line_id():
     with pytest.raises(ValueError, match="schema"):
         doc.validate()
     assert doc.validate(xsd=False)   # structural-only path still passes
+
+
+def test_watchdog_reports_stuck_pages():
+    import threading
+    import time as _time
+    from origami_tpu.batch.core.processor import Watchdog
+
+    class FakePool:
+        def __init__(self):
+            self.terminated = False
+
+        def terminate(self):
+            self.terminated = True
+
+    class HB:
+        value = 0.0
+
+    hb = HB()
+    hb.value = _time.time() - 100     # stalled long ago
+    work = {1234: ("corpus/page9.png", _time.time() - 90)}
+    pool = FakePool()
+    wd = Watchdog(pool, timeout=60, heartbeat=hb, work_set=work)
+    wd._done = threading.Event()
+    # drive one check directly instead of sleeping through the loop
+    wd._strikes = 0
+    assert _time.time() - hb.value > 60
+    wd._strikes += 1
+    wd._report_stuck()
+    wd._cancelled = True
+    pool.terminate()
+    assert pool.terminated
+    assert wd.stuck and wd.stuck[0][0] == "corpus/page9.png"
+    assert wd.stuck[0][2] > 60
