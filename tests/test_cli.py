@@ -36,6 +36,7 @@ CLIS = [
     ("origami_tpu.batch.remote.runner", "remote"),
     ("origami_tpu.tool.harmonize", "harmonize"),
     ("origami_tpu.tool.annotate", "annotate"),
+    ("origami_tpu.tool.annotate_web", "serve"),
     ("origami_tpu.tool.pick", "pick"),
     ("origami_tpu.tool.sample", "sample_lines"),
     ("origami_tpu.tool.export", "export"),

@@ -358,3 +358,48 @@ def test_watchdog_reports_stuck_pages():
     assert pool.terminated
     assert wd.stuck and wd.stuck[0][0] == "corpus/page9.png"
     assert wd.stuck[0][2] > 60
+
+
+def test_annotate_web_ui(tmp_path, monkeypatch):
+    import http.client
+    import threading
+    from http.server import HTTPServer
+    import origami_tpu.tool.lineload as lineload
+    from origami_tpu.tool.annotate_web import make_handler
+    from origami_tpu.tool.lineload import AnnotationDB
+
+    db_path = tmp_path / "annotations.db"
+    db = AnnotationDB(db_path)
+    db.add_line("p1.png", "regions/TEXT/0/0")
+    db.add_line("p1.png", "regions/TEXT/0/1", annotation="done")
+
+    strip = np.full((48, 200), 255, np.uint8)
+    strip[20:30, 10:190] = 0
+    monkeypatch.setattr(lineload, "load_line_image",
+                        lambda page, line, h, column=None: strip)
+
+    server = HTTPServer(("127.0.0.1", 0), make_handler(db_path, 48))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/")
+        assert b"transcription" in conn.getresponse().read()
+        conn.request("GET", "/lines?only_blank=1")
+        lines = json.loads(conn.getresponse().read())
+        assert len(lines) == 1 and lines[0]["line_path"] == \
+            "regions/TEXT/0/0"
+        conn.request("GET", "/strip?page=p1.png&line=regions/TEXT/0/0")
+        png = conn.getresponse().read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        body = json.dumps(dict(page="p1.png", line="regions/TEXT/0/0",
+                               text="Neue Zeitung"))
+        conn.request("POST", "/save", body=body,
+                     headers={"Content-Type": "application/json"})
+        assert conn.getresponse().status == 200
+    finally:
+        server.shutdown()
+    recs = {r["line_path"]: r["annotation"]
+            for r in AnnotationDB(db_path).all_lines()}
+    assert recs["regions/TEXT/0/0"] == "Neue Zeitung"
