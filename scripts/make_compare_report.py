@@ -1,0 +1,225 @@
+"""Generate COMPARE_r02.md: accuracy evidence for the trained models.
+
+Consumes a completed bootstrap work dir (scripts/bootstrap_synth.py):
+  * per-class IoU of the trained ensembles / 1-member speed mode /
+    distilled students against held-out GT masks (report.json),
+  * isolated-line CER of the trained recognizer (report.json),
+  * a full-pipeline run on validation pages with the TRAINED models:
+    segment(quality ensembles) -> ... -> ocr(trained recognizer),
+    measuring end-to-end line-level CER against the page GT (detected
+    lines matched to GT lines by rewarped baseline proximity), plus
+    the same pipeline with the heuristic segmenter for comparison
+    (batch/utils/compare.py artifact diffing between the two).
+
+Run after bootstrap_synth.py:
+    PYTHONPATH=/root/repo:/root/.axon_site \
+        python scripts/make_compare_report.py --work work/bootstrap
+"""
+
+import argparse
+import json
+import shutil
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def run_pipeline(corpus, segment_model, recognizer, target="quality"):
+    from origami_tpu.batch.detect.compose import ComposeProcessor
+    from origami_tpu.batch.detect.contours import ContoursProcessor
+    from origami_tpu.batch.detect.dewarp import DewarpProcessor
+    from origami_tpu.batch.detect.flow import FlowDetectionProcessor
+    from origami_tpu.batch.detect.layout import LayoutDetectionProcessor
+    from origami_tpu.batch.detect.lines import LineDetectionProcessor
+    from origami_tpu.batch.detect.ocr import OCRProcessor
+    from origami_tpu.batch.detect.order import ReadingOrderProcessor
+    from origami_tpu.batch.detect.segment import SegmentationProcessor
+
+    opts = dict(lock_strategy="NONE", plain=True)
+    stages = [
+        SegmentationProcessor(segment_model, dict(target=target, **opts)),
+        ContoursProcessor(opts),
+        FlowDetectionProcessor(opts),
+        DewarpProcessor(opts),
+        LayoutDetectionProcessor(dict(layout="bbz", **opts)),
+        LineDetectionProcessor(opts),
+        ReadingOrderProcessor(opts),
+        OCRProcessor(dict(model=str(recognizer), **opts)),
+        ComposeProcessor(opts),
+    ]
+    for proc in stages:
+        proc.traverse(corpus)
+
+
+def pipeline_cer(corpus, gt_dir):
+    """Line-level CER: detected OCR lines matched to GT transcripts by
+    rewarped baseline proximity."""
+    import zipfile
+    from origami_tpu.batch.utils.evaluate import cer
+    from origami_tpu.core.dewarp import Grid
+
+    cers = []
+    n_gt = n_matched = 0
+    for img in sorted(Path(corpus).glob("*.png")):
+        gt = json.loads(
+            (Path(gt_dir) / (img.stem + ".gt.json")).read_text())
+        out = img.parent / (img.stem + ".out")
+        if not (out / "ocr.zip").exists():
+            continue
+        grid = Grid.open(out / "dewarp.zip")
+        texts = {}
+        with zipfile.ZipFile(out / "ocr.zip") as zf:
+            for n in zf.namelist():
+                texts[n[:-4]] = zf.read(n).decode("utf-8")
+        det = []
+        with zipfile.ZipFile(out / "lines.3.zip") as zf:
+            for n in zf.namelist():
+                if not n.endswith(".json") or n.endswith("meta.json"):
+                    continue
+                d = json.loads(zf.read(n))
+                bl = (d.get("tesseract_data") or {}).get("baseline")
+                key = n[:-5]
+                if bl and key in texts:
+                    det.append((grid.inverse_points(
+                        np.asarray(bl, float)), texts[key]))
+        heights = [l["bbox"][3] - l["bbox"][1] for l in gt["lines"]]
+        tol = 0.75 * float(np.median(heights))
+        for line in gt["lines"]:
+            (x0, y), (x1, _) = line["baseline"]
+            if x1 - x0 < 60:
+                continue
+            n_gt += 1
+            mx, my = (x0 + x1) / 2.0, y
+            best = None
+            for bl, text in det:
+                bx0, bx1 = bl[:, 0].min(), bl[:, 0].max()
+                if not (bx0 - tol <= mx <= bx1 + tol):
+                    continue
+                by = float(np.interp(mx, bl[:, 0], bl[:, 1]))
+                d = abs(by - my)
+                if d <= tol and (best is None or d < best[0]):
+                    best = (d, text)
+            if best is not None:
+                n_matched += 1
+                cers.append(cer(line["text"], best[1]))
+    return dict(
+        cer=float(np.mean(cers)) if cers else None,
+        cer_median=float(np.median(cers)) if cers else None,
+        line_recall=n_matched / max(n_gt, 1), n_gt=n_gt)
+
+
+def fmt_iou(d):
+    rows = []
+    for kind in ("region", "separator"):
+        classes = {k: v for k, v in d[kind].items() if k != "_mean"}
+        cells = " ".join("%s=%.3f" % (k, v)
+                         for k, v in classes.items() if v is not None)
+        rows.append("| %s | %.3f | %s |" % (kind, d[kind]["_mean"],
+                                            cells))
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", default="work/bootstrap")
+    ap.add_argument("--out", default="COMPARE_r02.md")
+    ap.add_argument("--pages", type=int, default=4)
+    args = ap.parse_args()
+    work = Path(args.work)
+    report = json.loads((work / "report.json").read_text())
+
+    from origami_tpu.batch.utils.compare import compare_segmentation
+
+    results = {}
+    for label, model, target in (
+            ("trained_quality", work / "models", "quality"),
+            ("student", work / "students", "speed"),
+            ("heuristic", "heuristic", "quality")):
+        corpus = work / ("pipeline_" + label)
+        if corpus.exists():
+            shutil.rmtree(corpus)
+        corpus.mkdir(parents=True)
+        for img in sorted((work / "val").glob("*.png"))[: args.pages]:
+            shutil.copy(img, corpus / img.name)
+        t0 = time.time()
+        run_pipeline(corpus, str(model), work / "recognizer",
+                     target=target)
+        results[label] = dict(
+            cer=pipeline_cer(corpus, work / "val"),
+            seconds_per_page=round(
+                (time.time() - t0) / args.pages, 2))
+
+    # artifact-level diff trained vs heuristic (the reference's own
+    # comparison mechanism: same pages, diff segment.zip)
+    seg_diffs = []
+    for img in sorted((work / "pipeline_trained_quality").glob("*.png")):
+        a = img.parent / (img.stem + ".out") / "segment.zip"
+        b = (work / "pipeline_heuristic" / (img.stem + ".out")
+             / "segment.zip")
+        if a.exists() and b.exists():
+            seg_diffs.append(compare_segmentation(a, b))
+
+    lines = ["# COMPARE r2 — accuracy evidence (synthetic GT corpus)",
+             "",
+             "Corpus: %d train / %d val synthetic newspaper pages "
+             "(train/synth.py; no real scans are obtainable in this "
+             "offline environment — the synthetic corpus has EXACT "
+             "ground truth instead)." % (
+                 len(list((work / "train").glob("*.png"))),
+                 len(list((work / "val").glob("*.png")))),
+             "",
+             "## Segmentation IoU vs held-out GT masks",
+             "",
+             "5-member ensembles (region s2d4 width-2, separator s2d2"
+             " width-1, the production pair), trained "
+             "%d s + distilled %d s on the TPU chip." % (
+                 report.get("seg_train_seconds", 0),
+                 report.get("distill_seconds", 0)),
+             "",
+             "| mode | kind | mean IoU | per class |",
+             "|---|---|---|---|"]
+    for label, key in (("ensemble (quality)", "iou_ensemble"),
+                       ("1 member (speed)", "iou_ensemble_speed1"),
+                       ("distilled student", "iou_student")):
+        for row in fmt_iou(report[key]):
+            lines.append("| %s %s" % (label, row[1:]))
+    lines += ["",
+              "## Recognizer CER (isolated lines, n=%d)" %
+              report["ocr"]["n"],
+              "",
+              "greedy decode: CER mean %.4f / median %.4f" % (
+                  report["ocr"]["cer"], report["ocr"]["cer_median"]),
+              "",
+              "## Full pipeline on val pages (segment -> compose)",
+              "",
+              "| pipeline | line recall | CER mean | CER median | "
+              "s/page |",
+              "|---|---|---|---|---|"]
+    for label, r in results.items():
+        c = r["cer"]
+        lines.append("| %s | %.3f | %s | %s | %.1f |" % (
+            label, c["line_recall"],
+            "%.4f" % c["cer"] if c["cer"] is not None else "-",
+            "%.4f" % c["cer_median"] if c["cer_median"] is not None
+            else "-",
+            r["seconds_per_page"]))
+    if seg_diffs:
+        mean_text = float(np.mean(
+            [d["regions"].get("TEXT", 0.0) for d in seg_diffs]))
+        lines += ["",
+                  "## Trained vs heuristic artifact diff",
+                  "",
+                  "mask agreement (TEXT IoU trained vs heuristic "
+                  "segment.zip): %.3f over %d pages" % (
+                      mean_text, len(seg_diffs))]
+    lines += ["",
+              "Reproduce: `python scripts/bootstrap_synth.py` then "
+              "`python scripts/make_compare_report.py`.", ""]
+    Path(args.out).write_text("\n".join(lines))
+    print("wrote", args.out)
+    print(json.dumps(results, indent=1, default=str))
+
+
+if __name__ == "__main__":
+    main()

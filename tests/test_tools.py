@@ -403,3 +403,28 @@ def test_annotate_web_ui(tmp_path, monkeypatch):
     recs = {r["line_path"]: r["annotation"]
             for r in AnnotationDB(db_path).all_lines()}
     assert recs["regions/TEXT/0/0"] == "Neue Zeitung"
+
+
+def test_import_reference_model_meta(tmp_path):
+    from origami_tpu.tool.migrate import import_model_meta
+    from origami_tpu.models import registry
+    # a reference-style model directory (meta.json + Keras model.h5)
+    src = tmp_path / "v3" / "sep" / "1"
+    src.mkdir(parents=True)
+    src.joinpath("meta.json").write_text(json.dumps(dict(
+        model="Unet", backbone="resnet34", type="SEPARATOR",
+        classes=["H", "V", "T", "BACKGROUND"],
+        full_size=[1280, 2400], tile_size=[1280, 896], tile_beta=50)))
+    import h5py
+    with h5py.File(str(src / "model.h5"), "w") as f:
+        f.attrs["keras_version"] = b"2.3.1"
+        f.create_dataset("model_weights/conv1/kernel",
+                         data=np.zeros((3, 3, 1, 8), np.float32))
+    out = tmp_path / "native" / "separator" / "00"
+    meta = import_model_meta(src, out, width=0.125, s2d=2)
+    assert meta["classes"] == ["H", "V", "T", "BACKGROUND"]
+    assert meta["imported_from"]["h5"]["n_params"] == 72
+    # the imported dir is a servable native model (fresh params)
+    module, params, loaded = registry.load_model(out)
+    assert loaded["type"] == "separator"
+    assert loaded["tile_beta"] == 50
