@@ -464,7 +464,15 @@ class Processor:
                     progress(i, p)
 
     # -- runtime.json ------------------------------------------------------
+    _runtime_write_lock = threading.Lock()
+
     def _update_runtime_info(self, page_path, updates):
+        # read-modify-write; the class-wide lock keeps concurrent
+        # stages (PagePipeline overlap mode) from losing updates
+        with Processor._runtime_write_lock:
+            self._update_runtime_info_locked(page_path, updates)
+
+    def _update_runtime_info_locked(self, page_path, updates):
         try:
             data_path = find_data_path(page_path)
             data_path.mkdir(exist_ok=True)

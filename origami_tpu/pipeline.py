@@ -89,7 +89,16 @@ class PagePipeline:
     def process(self, image, name="page0001"):
         return self.process_batch([image], names=[name])[0]
 
-    def process_batch(self, images, names=None):
+    def process_batch(self, images, names=None, overlap=None):
+        """Run the full chain over a page batch.
+
+        overlap=True (default for batches > 2) runs segmentation — the
+        device-bound stage — in a feeder thread while the host-geometry
+        stages consume pages as their segment.zip lands: stage
+        readiness + idempotent artifacts make repeated traversals of
+        the remaining stages safe, so the sweep loop simply re-runs
+        them until every page composed. jax dispatch releases the GIL,
+        so device and host genuinely overlap."""
         if self._stages is None:
             self._stages = self._build_stages()
         root = Path(tempfile.mkdtemp(prefix="origami_serve_",
@@ -100,10 +109,15 @@ class PagePipeline:
         for img, name in zip(images, names):
             arr = np.asarray(img)
             PIL.Image.fromarray(arr).save(corpus / (name + ".png"))
+        if overlap is None:
+            overlap = len(images) > 2
 
         try:
-            for stage in self._stages:
-                stage.traverse(corpus)
+            if overlap:
+                self._run_overlapped(corpus, names)
+            else:
+                for stage in self._stages:
+                    stage.traverse(corpus)
             results = []
             for name in names:
                 results.append(self._collect(corpus, name))
@@ -111,6 +125,44 @@ class PagePipeline:
         finally:
             if not self._keep:
                 shutil.rmtree(root, ignore_errors=True)
+
+    def _run_overlapped(self, corpus, names):
+        import threading
+        import time
+
+        seg, rest = self._stages[0], self._stages[1:]
+        err = []
+
+        def run_seg():
+            try:
+                seg.traverse(corpus)
+            except BaseException as e:   # surfaced in the main thread
+                err.append(e)
+
+        t = threading.Thread(target=run_seg, daemon=True)
+        t.start()
+
+        def all_done():
+            return all(
+                (corpus / (n + ".out") / "compose.zip").exists()
+                for n in names)
+
+        while True:
+            segmenting = t.is_alive()
+            for stage in rest:
+                stage.traverse(corpus)
+            if err:
+                raise err[0]
+            if all_done():
+                break
+            if not segmenting:
+                # segmentation finished before this sweep started, so
+                # that sweep saw every page — one more pass mops up
+                for stage in rest:
+                    stage.traverse(corpus)
+                break
+            time.sleep(0.05)
+        t.join()
 
     def _collect(self, corpus, name):
         out = corpus / (name + ".out")

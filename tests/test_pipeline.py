@@ -475,3 +475,22 @@ def test_page_pipeline_batch(synthetic_page):
     assert len(results) == 2
     assert results[0].text == results[1].text
     assert "text for " in results[0].text
+
+
+def test_page_pipeline_overlapped(synthetic_page, rng):
+    """overlap mode (device segmentation feeding host stages from a
+    thread) produces the same results as the sequential path."""
+    from origami_tpu.pipeline import PagePipeline
+    pages = [synthetic_page,
+             np.clip(synthetic_page.astype(np.int16) + 6,
+                     0, 255).astype(np.uint8),
+             synthetic_page[::-1].copy(),
+             synthetic_page[:, ::-1].copy()]
+    pipe = PagePipeline(segmentation_model="heuristic",
+                        ocr_model="FAKE", page_xml=False)
+    seq = pipe.process_batch(pages, overlap=False)
+    par = pipe.process_batch(pages, overlap=True)
+    for a, b in zip(seq, par):
+        assert a.text == b.text
+        assert set(a.lines) == set(b.lines)
+        assert a.order == b.order
