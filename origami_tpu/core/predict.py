@@ -105,7 +105,11 @@ class _EnsembleGraph:
 
 
 def _pad_batch(pages):
-    """Stack variable-size grayscale pages into one padded f32 batch."""
+    """Stack variable-size grayscale pages into one padded f32 batch.
+
+    Returns (batch, sizes): sizes holds each page's true (h, w) — the
+    padding fraction must be cropped off the canvas-space output again
+    or every downstream coordinate is scaled by content/padded."""
     hs = [p.shape[0] for p in pages]
     ws = [p.shape[1] for p in pages]
     H, W = max(hs), max(ws)
@@ -115,7 +119,7 @@ def _pad_batch(pages):
     out = np.full((len(pages), H, W), 255.0, dtype=np.float32)
     for i, p in enumerate(pages):
         out[i, : p.shape[0], : p.shape[1]] = p
-    return out
+    return out, list(zip(hs, ws))
 
 
 class SegmentationPredictor:
@@ -147,17 +151,26 @@ class SegmentationPredictor:
 
     def predict_batch(self, pages):
         """pages: list of (H, W) uint8 arrays -> list of Segmentation."""
-        batch = _pad_batch(pages)
+        batch, sizes = _pad_batch(pages)
+        _, H, W = batch.shape
         outs = []
         for g in self._graphs:
             outs.append(g(batch))
         segs = []
         for i in range(len(pages)):
+            h, w = sizes[i]
             preds = []
             for g, labels in zip(self._graphs, outs):
                 meta = g.meta
+                lab = labels[i]
+                # crop away the pad-bucket fraction: the raster then
+                # maps 1:1 onto the page again (stages rescale rasters
+                # of ANY size to page coordinates)
+                ch = int(round(lab.shape[0] * h / H))
+                cw = int(round(lab.shape[1] * w / W))
+                lab = lab[:ch, :cw]
                 preds.append(Prediction(
-                    meta["type"].upper(), meta["name"], labels[i],
+                    meta["type"].upper(), meta["name"], lab,
                     {c: j for j, c in enumerate(meta["classes"])}))
             segs.append(Segmentation(preds))
         return segs
