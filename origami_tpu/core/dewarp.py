@@ -244,12 +244,23 @@ class Grid:
         if resolution == "sample":
             return self._hv
         if resolution == "full":
+            # index-aligned upsampling: full[y, x] == bilinear(hv at
+            # (x/res, y/res)), the SAME convention inverse_points uses.
+            # (jax.image.resize's half-pixel-center convention would
+            # shift the rendered dewarped image by res/2 px against
+            # every coordinate mapped back through inverse_points —
+            # half a line height at the default 25 px cells.)
             import jax.numpy as jnp
-            from origami_tpu.ops.resize import resize
+            from jax.scipy.ndimage import map_coordinates
             h, w = self._hv.shape[:2]
-            up = resize(jnp.asarray(self._hv), (h * self._res, w * self._res),
-                        method="linear")
-            return np.asarray(up, dtype=np.float32)
+            ys = jnp.arange(h * self._res, dtype=jnp.float32) / self._res
+            xs = jnp.arange(w * self._res, dtype=jnp.float32) / self._res
+            yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+            hv = jnp.asarray(self._hv)
+            chans = [map_coordinates(hv[..., k], [yy, xx], order=1,
+                                     mode="nearest") for k in (0, 1)]
+            return np.stack([np.asarray(c) for c in chans],
+                            axis=-1).astype(np.float32)
         raise ValueError(resolution)
 
     # -- transforms --------------------------------------------------------

@@ -8,6 +8,7 @@ jit pipelines consume the page without repeated host->HBM transfers.
 
 from __future__ import annotations
 
+import collections
 from functools import cached_property
 from pathlib import Path
 
@@ -33,6 +34,10 @@ def find_image_path(path):
 
 def is_image(path):
     return Path(path).suffix.lower() in _IMAGE_SUFFIXES
+
+
+# (path, mtime) -> dewarped page pixels; see Page.dewarped
+_DEWARPED_LRU = collections.OrderedDict()
 
 
 class Page:
@@ -61,8 +66,29 @@ class Page:
     def dewarped(self):
         if self._grid is None:
             return None
+        # process-wide LRU: every stage constructs its own Page, but
+        # within one process (PagePipeline, BatchedProcessor runs) the
+        # full-page remap is identical across stages — cache by file
+        # identity so layout/lines/ocr reuse dewarp's work
+        key = None
+        if self._path is not None:
+            try:
+                g = self._grid
+                fp = (g.resolution, g._hv.shape,
+                      float(g._hv.sum()), float(g._hv[-1, -1].sum()))
+                key = (str(self._path), self._path.stat().st_mtime, fp)
+            except (OSError, AttributeError):
+                key = None
+        if key is not None and key in _DEWARPED_LRU:
+            _DEWARPED_LRU.move_to_end(key)
+            return _DEWARPED_LRU[key]
         from origami_tpu.core.dewarp import Dewarper
-        return Dewarper(self._pixels, self._grid).dewarped
+        out = Dewarper(self._pixels, self._grid).dewarped
+        if key is not None:
+            _DEWARPED_LRU[key] = out
+            while len(_DEWARPED_LRU) > 12:
+                _DEWARPED_LRU.popitem(last=False)
+        return out
 
     @property
     def dewarper(self):

@@ -62,6 +62,8 @@ def pipeline_cer(corpus, gt_dir):
     cers = []
     n_gt = n_matched = 0
     for img in sorted(Path(corpus).glob("*.png")):
+        if ".labels." in img.name:
+            continue
         gt = json.loads(
             (Path(gt_dir) / (img.stem + ".gt.json")).read_text())
         out = img.parent / (img.stem + ".out")
@@ -140,7 +142,9 @@ def main():
         if corpus.exists():
             shutil.rmtree(corpus)
         corpus.mkdir(parents=True)
-        for img in sorted((work / "val").glob("*.png"))[: args.pages]:
+        val_pages = [p for p in sorted((work / "val").glob("*.png"))
+                     if ".labels." not in p.name]
+        for img in val_pages[: args.pages]:
             shutil.copy(img, corpus / img.name)
         t0 = time.time()
         run_pipeline(corpus, str(model), work / "recognizer",
@@ -166,8 +170,10 @@ def main():
              "(train/synth.py; no real scans are obtainable in this "
              "offline environment — the synthetic corpus has EXACT "
              "ground truth instead)." % (
-                 len(list((work / "train").glob("*.png"))),
-                 len(list((work / "val").glob("*.png")))),
+                 len([p for p in (work / "train").glob("*.png")
+                      if ".labels." not in p.name]),
+                 len([p for p in (work / "val").glob("*.png")
+                      if ".labels." not in p.name])),
              "",
              "## Segmentation IoU vs held-out GT masks",
              "",
