@@ -35,12 +35,12 @@ import time
 from pathlib import Path
 
 
-def bench_segmentation():
+def bench_segmentation(n_models_per_net=5, batch=4):
     import jax
     from origami_tpu.models.flagship import build_flagship
 
-    batch = 4
-    segment, (stack_a, stack_b, pages0) = build_flagship(batch=batch)
+    segment, (stack_a, stack_b, pages0) = build_flagship(
+        n_models_per_net=n_models_per_net, batch=batch)
     segment = jax.jit(segment)
 
     def fence(out):
@@ -125,14 +125,19 @@ def bench_end_to_end(n_pages=6):
 
 
 def main():
-    seg_pps = bench_segmentation()
+    seg_pps = bench_segmentation(n_models_per_net=5)
+    # distilled-student mode: 1 model per predictor at ensemble-level
+    # quality (measured IoU parity, COMPARE_r02.md) — the recommended
+    # production configuration
+    student_pps = bench_segmentation(n_models_per_net=1, batch=8)
     e2e_pps, per_stage = bench_end_to_end()
     print(json.dumps(dict(
         metric="detect_chain_pages_per_sec_per_chip",
         value=round(e2e_pps, 3),
         unit="pages/s",
         vs_baseline=round(e2e_pps / 10.0, 3),
-        segment_quality_pages_per_sec=round(seg_pps, 3),
+        segment_quality_ensemble_pages_per_sec=round(seg_pps, 3),
+        segment_student_pages_per_sec=round(student_pps, 3),
         stage_seconds=per_stage,
         host_cores=os.cpu_count())))
 

@@ -149,14 +149,19 @@ class LineExtractor:
         jobs = []
         for path, line, column in parts:
             page = line.block.page
+            # preserve the glyph aspect ratio: the band (ascent +
+            # descent high) is scaled to th rows, so sample x at the
+            # same magnification (Calamari's line normalization does
+            # the same; a recognizer trained on aspect-true strips
+            # can't read vertically stretched ones)
+            band_h = float(np.linalg.norm(line._up))
+            xres = th / max(band_h, 1.0)
+            coords = line.dewarped_grid_coords(th, xres=xres,
+                                               column=column)
             if dewarp and page.grid is not None:
-                coords = line.dewarped_grid_coords(th, column=column)
-                warped = page.grid.inverse_points(
+                coords = page.grid.inverse_points(
                     coords.reshape(-1, 2)).reshape(coords.shape)
-                jobs.append((path, line, warped))
-            else:
-                coords = line.dewarped_grid_coords(th, column=column)
-                jobs.append((path, line, coords))
+            jobs.append((path, line, coords))
 
         import jax.numpy as jnp
         from origami_tpu.ops.remap import bilinear_sample

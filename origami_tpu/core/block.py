@@ -261,7 +261,12 @@ class Line:
         from origami_tpu.ops import remap as _remap
         page = self._block.page
         if dewarped and page.grid is not None:
-            coords = self.dewarped_grid_coords(target_height, column=column)
+            # aspect-preserving: x sampled at the same magnification
+            # the band -> target_height scaling applies in y
+            band_h = float(np.linalg.norm(self._up))
+            xres = target_height / max(band_h, 1.0)
+            coords = self.dewarped_grid_coords(target_height,
+                                               xres=xres, column=column)
             warped_coords = page.grid.inverse_points(
                 coords.reshape(-1, 2)).reshape(coords.shape)
             out = np.asarray(_remap.bilinear_sample(

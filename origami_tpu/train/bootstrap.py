@@ -212,7 +212,7 @@ def distill_students(models_path, corpus_dir, out_dir, steps=800,
 def train_recognizer_synth(out_dir, steps=2000, batch=64, height=48,
                            seed=0, mesh=None, learning_rate=1e-3,
                            conv_features=(64, 128, 256),
-                           lstm_features=256, max_text_len=48,
+                           lstm_features=256, max_text_len=None,
                            n_pool=6000, log_every=50):
     """Train the CTC recognizer on synthetic line strips.
 
@@ -253,8 +253,13 @@ def train_recognizer_synth(out_dir, steps=2000, batch=64, height=48,
             x[i, :, :sw] = s[:, :sw]
             x[i, :, sw:] = 255
             wds[i] = sw
-        labels, pad = encode_labels([t for _, t in items], CHARSET,
-                                    max_len=max_text_len)
+        # labels must NEVER be truncated against a strip that shows
+        # the full text — CTC then learns to stop emitting early
+        bucket_max = max(len(t) for _, t in items) + 1
+        labels, pad = encode_labels(
+            [t for _, t in items], CHARSET,
+            max_len=min(max_text_len, bucket_max)
+            if max_text_len else bucket_max)
         buckets[b] = (x, wds, labels, pad)
     trainer.attach_pool(buckets)
     keys = sorted(buckets)

@@ -311,28 +311,45 @@ def write_corpus(out_dir, n_pages, seed=0, **kw):
 
 
 def render_line(seed, text=None, height=48, max_width=2000):
-    """Render one OCR training line strip (uint8 (height, W)) + text."""
+    """Render one OCR training line strip (uint8 (height, W)) + text.
+
+    Matches the SERVING domain (LineExtractor strips): text is rendered
+    at page-scale font sizes (11..30 px — pipeline lines are mostly
+    14-22 px tall and get magnified to the recognizer height), framed
+    as [baseline - ascent_like, baseline + descent_like] with the
+    varied proportions the projection-profile band detector produces,
+    then aspect-preservingly scaled to `height`. A recognizer trained
+    on large sharp glyphs cannot read 3x-upscaled page text."""
     rng = np.random.default_rng(seed)
     if text is None:
         text = random_text(rng)
-    fs = int(rng.integers(22, 34))
+    fs = int(rng.integers(11, 31))
     kind = rng.choice(["serif", "serif_bold", "sans"],
                       p=[0.7, 0.15, 0.15])
     font = _font(kind, fs)
     probe = PIL.ImageDraw.Draw(PIL.Image.new("L", (4, 4)))
     tw = int(probe.textlength(text, font=font)) + 16
-    th = int(fs * 1.7)
-    img = PIL.Image.new("L", (max(tw, 8), th), 255)
+    canvas_h = int(fs * 3)
+    base_y = int(fs * 1.8)
+    img = PIL.Image.new("L", (max(tw, 8), canvas_h), 255)
     draw = PIL.ImageDraw.Draw(img)
-    draw.text((8, int(fs * 1.2)), text, font=font, fill=0, anchor="ls")
+    draw.text((8, base_y), text, font=font, fill=0, anchor="ls")
     arr = np.asarray(img).astype(np.float32)
-    arr = arr + rng.normal(0, rng.uniform(2, 6), arr.shape)
+    arr = arr * rng.uniform(0.92, 1.0) \
+        + rng.normal(0, rng.uniform(2, 6), arr.shape)
     arr = np.clip(arr, 0, 255).astype(np.uint8)
+    # crop a band around the baseline the way the band detector frames
+    # lines: most of an em above, a sliver-to-half-descender below
+    top = base_y - int(fs * rng.uniform(0.85, 1.2))
+    bottom = base_y + int(fs * rng.uniform(0.1, 0.5))
+    arr = arr[max(top, 0): min(bottom, canvas_h)]
     # scale to target height, preserve aspect
     import cv2
     scale = height / arr.shape[0]
     w = max(8, min(int(arr.shape[1] * scale), max_width))
-    arr = cv2.resize(arr, (w, height), interpolation=cv2.INTER_AREA)
+    arr = cv2.resize(arr, (w, height),
+                     interpolation=cv2.INTER_AREA if scale < 1
+                     else cv2.INTER_LINEAR)
     return arr, text
 
 
