@@ -139,52 +139,57 @@ class LineExtractor:
     def extract(self, parts):
         """parts: [(path, line, column)] -> [(path, strip_uint8)].
 
-        All dewarped strips of the page are gathered in one device
-        dispatch; width is padded to the max and cropped after."""
+        All strips of a page are gathered in ONE fused device dispatch
+        (affine strip grid -> inverse dewarp grid -> page gather -> u8;
+        ops.remap.extract_dewarped_strips). Host work per line is just
+        the (2, 3) frame. N and the padded width are bucketed so jit
+        graphs are reused across pages."""
         if not parts:
             return []
         dewarp = not self._options.get("do_not_dewarp", False)
         th = self._line_height
 
-        jobs = []
-        for path, line, column in parts:
-            page = line.block.page
-            # preserve the glyph aspect ratio: the band (ascent +
-            # descent high) is scaled to th rows, so sample x at the
-            # same magnification (Calamari's line normalization does
-            # the same; a recognizer trained on aspect-true strips
-            # can't read vertically stretched ones)
-            band_h = float(np.linalg.norm(line._up))
-            xres = th / max(band_h, 1.0)
-            coords = line.dewarped_grid_coords(th, xres=xres,
-                                               column=column)
-            if dewarp and page.grid is not None:
-                coords = page.grid.inverse_points(
-                    coords.reshape(-1, 2)).reshape(coords.shape)
-            jobs.append((path, line, coords))
-
         import jax.numpy as jnp
-        from origami_tpu.ops.remap import bilinear_sample
+        from origami_tpu.ops.remap import (extract_dewarped_strips,
+                                           identity_grid)
 
-        # group jobs by source page object (normally one)
+        # group by source page object (normally one)
         out = []
         by_page = collections.defaultdict(list)
-        for j in jobs:
-            by_page[id(j[1].block.page)].append(j)
+        for path, line, column in parts:
+            by_page[id(line.block.page)].append((path, line, column))
         for group in by_page.values():
             page = group[0][1].block.page
-            widths = [g[2].shape[1] for g in group]
-            wmax = max(widths)
-            batch = np.zeros((len(group), th, wmax, 2), np.float32)
-            batch[..., 0] = -1e6
-            for i, (_, _, coords) in enumerate(group):
-                batch[i, :, : coords.shape[1]] = coords
-            img = jnp.asarray(np.asarray(page.warped), jnp.float32)
-            strips = np.asarray(bilinear_sample(
-                img, jnp.asarray(batch), fill=255.0))
+            frames, widths = [], []
+            for _, line, column in group:
+                # preserve the glyph aspect ratio: the band (ascent +
+                # descent high) is scaled to th rows, so sample x at
+                # the same magnification (Calamari-style line
+                # normalization; a recognizer trained on aspect-true
+                # strips can't read vertically stretched ones)
+                band_h = float(np.linalg.norm(line._up))
+                xres = th / max(band_h, 1.0)
+                frame, width = line.dewarped_frame(th, xres=xres,
+                                                   column=column)
+                frames.append(frame)
+                widths.append(width)
+            if dewarp and page.grid is not None:
+                hv = page.grid.points("sample")
+                res = float(page.grid.resolution)
+            else:
+                hv, res = identity_grid(*page.size())
+            # bucket N and padded width to bound jit recompiles
+            nb = -(-len(group) // 32) * 32
+            wmax = -(-max(widths) // 512) * 512
+            fr = np.zeros((nb, 2, 3), np.float32)
+            fr[: len(group)] = np.stack(frames)
+            wd = np.zeros(nb, np.int32)
+            wd[: len(group)] = widths
+            strips = np.asarray(extract_dewarped_strips(
+                jnp.asarray(np.asarray(page.warped)), jnp.asarray(hv),
+                res, jnp.asarray(fr), jnp.asarray(wd), th, wmax))
             for i, (path, line, _) in enumerate(group):
-                strip = np.clip(strips[i, :, : widths[i]], 0,
-                                255).astype(np.uint8)
+                strip = strips[i, :, : widths[i]]
                 if self._binarizer is not None:
                     strip = self._binarizer(strip)
                 out.append((path, strip))

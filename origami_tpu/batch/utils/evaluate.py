@@ -21,20 +21,45 @@ from origami_tpu.batch.core.io import (
     Artifact, Input, Output, Stage, find_data_path)
 
 
+def _as_codes(a, b):
+    """Map two strings (chars) or token lists to int numpy arrays
+    under ONE shared code mapping."""
+    if isinstance(a, str):
+        return (np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32),
+                np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32))
+    codes = {}
+    return tuple(
+        np.array([codes.setdefault(t, len(codes)) for t in seq],
+                 dtype=np.int64)
+        for seq in (a, b))
+
+
 def levenshtein(a, b):
-    """Edit distance, O(len(a) * len(b)) with numpy rows."""
-    if not a:
+    """Edit distance, fully vectorized rows.
+
+    The left-to-right dependency cur[j+1] = min(..., cur[j] + 1) is an
+    exact prefix-min: cur[j] = j + cummin(u)[j] with u_0 = cur[0] and
+    u_k = min(prev[k] + 1, prev[k-1] + cost_k) - k, so each row is
+    O(n) numpy instead of a Python loop (full-page CER on a corpus was
+    previously minutes of interpreter time)."""
+    if not len(a):
         return len(b)
-    if not b:
+    if not len(b):
         return len(a)
-    prev = np.arange(len(b) + 1)
-    for i, ca in enumerate(a):
-        cur = np.empty(len(b) + 1, dtype=np.int64)
-        cur[0] = i + 1
-        sub = prev[:-1] + np.array([ca != cb for cb in b], dtype=np.int64)
-        for j in range(len(b)):
-            cur[j + 1] = min(cur[j] + 1, prev[j + 1] + 1, sub[j])
-        prev = cur
+    if isinstance(a, str) != isinstance(b, str):
+        raise TypeError("mixed str/list operands")
+    ca, cb = _as_codes(a, b)
+    n = len(cb)
+    steps = np.arange(1, n + 1, dtype=np.int64)
+    prev = np.arange(n + 1, dtype=np.int64)
+    u = np.empty(n + 1, dtype=np.int64)
+    for i in range(len(ca)):
+        base = np.minimum(prev[1:] + 1, prev[:-1] + (ca[i] != cb))
+        u[0] = i + 1
+        np.subtract(base, steps, out=u[1:])
+        np.minimum.accumulate(u, out=u)
+        prev[0] = i + 1
+        np.add(u[1:], steps, out=prev[1:])
     return int(prev[-1])
 
 

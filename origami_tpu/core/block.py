@@ -227,24 +227,43 @@ class Line:
             [ex[0], ey[0], origin[0]],
             [ex[1], ey[1], origin[1]]]), width
 
+    def _column_extent(self, column):
+        """(p0, right) clipped to a table column's x range."""
+        p0, right = self._p, self._right
+        if column is None:
+            return p0, right
+        x0, x1 = column
+        bx0 = min(p0[0], (p0 + right)[0])
+        bx1 = max(p0[0], (p0 + right)[0])
+        if x0 is None:
+            x0 = bx0
+        if x1 is None:
+            x1 = bx1
+        denom = max(bx1 - bx0, 1e-6)
+        t0 = (x0 - bx0) / denom
+        t1 = (x1 - bx0) / denom
+        return p0 + right * t0, right * max(t1 - t0, 1e-6)
+
+    def dewarped_frame(self, target_height, xres=1.0, column=None):
+        """((2, 3) affine, width): strip pixel (x, y, 1) -> dewarped
+        page coords; the device twin of dewarped_grid_coords, consumed
+        by ops.remap.extract_dewarped_strips."""
+        p0, right = self._column_extent(column)
+        up = self._up
+        width = max(2, int(math.ceil(np.linalg.norm(right) * xres)))
+        dx = right / (width - 1)
+        dy = -up / max(target_height - 1, 1)
+        origin = p0 + up
+        frame = np.array([[dx[0], dy[0], origin[0]],
+                          [dx[1], dy[1], origin[1]]], np.float32)
+        return frame, width
+
     def dewarped_grid_coords(self, target_height, xres=1.0, column=None):
         """Dewarped-space sample grid (target_height, W, 2) for this line,
         to be pushed through the inverse dewarping grid then sampled from
         the warped page — one fused device op for all lines."""
-        p0, right, up = self._p, self._right, self._up
-        if column is not None:
-            x0, x1 = column
-            bx0 = min(p0[0], (p0 + right)[0])
-            bx1 = max(p0[0], (p0 + right)[0])
-            if x0 is None:
-                x0 = bx0
-            if x1 is None:
-                x1 = bx1
-            denom = max(bx1 - bx0, 1e-6)
-            t0 = (x0 - bx0) / denom
-            t1 = (x1 - bx0) / denom
-            p0 = p0 + right * t0
-            right = right * max(t1 - t0, 1e-6)
+        p0, right = self._column_extent(column)
+        up = self._up
         width = max(2, int(math.ceil(np.linalg.norm(right) * xres)))
         xs = np.linspace(0.0, 1.0, width)
         ys = np.linspace(1.0, 0.0, target_height)   # top row = up

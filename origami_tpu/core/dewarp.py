@@ -244,23 +244,12 @@ class Grid:
         if resolution == "sample":
             return self._hv
         if resolution == "full":
-            # index-aligned upsampling: full[y, x] == bilinear(hv at
-            # (x/res, y/res)), the SAME convention inverse_points uses.
-            # (jax.image.resize's half-pixel-center convention would
-            # shift the rendered dewarped image by res/2 px against
-            # every coordinate mapped back through inverse_points —
-            # half a line height at the default 25 px cells.)
             import jax.numpy as jnp
-            from jax.scipy.ndimage import map_coordinates
-            h, w = self._hv.shape[:2]
-            ys = jnp.arange(h * self._res, dtype=jnp.float32) / self._res
-            xs = jnp.arange(w * self._res, dtype=jnp.float32) / self._res
-            yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-            hv = jnp.asarray(self._hv)
-            chans = [map_coordinates(hv[..., k], [yy, xx], order=1,
-                                     mode="nearest") for k in (0, 1)]
-            return np.stack([np.asarray(c) for c in chans],
-                            axis=-1).astype(np.float32)
+            # one device dispatch; the (H, W, 2) stack happens on
+            # device and transfers once (the earlier host-side
+            # stack+astype of two full-page channels cost ~2 s/page)
+            return np.asarray(
+                _upsample_hv_device(jnp.asarray(self._hv), self._res))
         raise ValueError(resolution)
 
     # -- transforms --------------------------------------------------------
@@ -338,8 +327,60 @@ class Grid:
             zf.writestr("meta.json", json.dumps(info))
 
 
+def _upsample_hv_planes(hv, res):
+    """Index-aligned upsampling: full[y, x] == bilinear(hv at
+    (x/res, y/res)), the SAME convention inverse_points uses.
+    (jax.image.resize's half-pixel-center convention would shift the
+    rendered dewarped image by res/2 px against every coordinate
+    mapped back through inverse_points — half a line height at the
+    default 25 px cells.)
+
+    Returns the x and y planes SEPARATELY: a stacked (H, W, 2) array
+    on TPU is lane-padded 2 -> 128 on the trailing axis (64x memory
+    for a full-page map)."""
+    import jax.numpy as jnp
+    from jax.scipy.ndimage import map_coordinates
+    h, w = hv.shape[:2]
+    ys = jnp.arange(h * res, dtype=jnp.float32) / res
+    xs = jnp.arange(w * res, dtype=jnp.float32) / res
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    return tuple(
+        map_coordinates(hv[..., k], [yy, xx], order=1,
+                        mode="nearest").astype(jnp.float32)
+        for k in (0, 1))
+
+
+@lru_cache(maxsize=1)
+def _jitted_dewarp_fns():
+    import jax
+
+    def upsample_impl(hv, res):
+        import jax.numpy as jnp
+        mx, my = _upsample_hv_planes(hv, res)
+        return jnp.stack([mx, my], axis=-1)
+
+    up = jax.jit(upsample_impl, static_argnames=("res",))
+
+    def dewarp_impl(image, hv, scale, res):
+        import jax.numpy as jnp
+        from origami_tpu.ops.remap import bilinear_sample_xy
+        mx, my = _upsample_hv_planes(hv, res)
+        out = bilinear_sample_xy(image.astype(jnp.float32),
+                                 mx * scale[0], my * scale[1],
+                                 fill=255.0)
+        return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+    dw = jax.jit(dewarp_impl, static_argnames=("res",))
+    return up, dw
+
+
+def _upsample_hv_device(hv, res):
+    return _jitted_dewarp_fns()[0](hv, res)
+
+
 class Dewarper:
-    """Applies a grid to images: one batched device remap."""
+    """Applies a grid to images: upsample + remap + u8 cast fused in
+    one device dispatch (the map never round-trips to host)."""
 
     def __init__(self, image, grid):
         self._image = np.asarray(image)
@@ -349,24 +390,21 @@ class Dewarper:
     def grid(self):
         return self._grid
 
+    def _dewarp(self, image, scale):
+        import jax.numpy as jnp
+        dw = _jitted_dewarp_fns()[1]
+        out = dw(jnp.asarray(image), jnp.asarray(self._grid._hv),
+                 jnp.asarray(scale, dtype=jnp.float32),
+                 self._grid.resolution)
+        return np.asarray(out)
+
     @cached_property
     def dewarped(self):
-        import jax.numpy as jnp
-        from origami_tpu.ops.remap import remap
-        m = self._grid.points("full")
-        out = remap(jnp.asarray(self._image.astype(np.float32)),
-                    jnp.asarray(m), fill=255.0)
-        return np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+        return self._dewarp(self._image, np.ones(2, np.float32))
 
     def dewarp_image(self, image, scale_to=None):
-        import jax.numpy as jnp
-        from origami_tpu.ops.remap import remap
         image = np.asarray(image)
-        m = self._grid.points("full").copy()
         h0, w0 = self._image.shape[:2]
         h1, w1 = image.shape[:2]
-        if (h0, w0) != (h1, w1):
-            m = m * np.array([w1 / w0, h1 / h0], dtype=np.float32)
-        out = remap(jnp.asarray(image.astype(np.float32)), jnp.asarray(m),
-                    fill=255.0)
-        return np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+        scale = np.array([w1 / w0, h1 / h0], dtype=np.float32)
+        return self._dewarp(image, scale)

@@ -22,10 +22,19 @@ def bilinear_sample(image, coords, fill=0.0):
     Out-of-bounds samples return `fill`. Returns array shaped like
     coords[..., 0].
     """
+    return bilinear_sample_xy(image, coords[..., 0], coords[..., 1], fill)
+
+
+def bilinear_sample_xy(image, x, y, fill=0.0):
+    """bilinear_sample with the coordinate planes passed separately.
+
+    Use this INSIDE fused jit graphs: a stacked (..., 2) coordinate
+    tensor materialized on TPU is tiled to 128 lanes on the trailing
+    axis — a 64x memory blowup that OOMs full-page/strip-batch maps.
+    Separate (..., ) planes keep the last axis wide and dense.
+    """
     img = image.astype(jnp.float32)
     h, w = img.shape
-    x = coords[..., 0]
-    y = coords[..., 1]
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     tx = x - x0
@@ -83,6 +92,77 @@ def invert_affine(matrix):
     ai = jnp.linalg.inv(a)
     ti = -ai @ t
     return jnp.concatenate([ai, ti[:, None]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def extract_dewarped_strips(image, hv, res, frames, widths, out_h, out_w,
+                            fill=255.0):
+    """Fused batched line extraction through the inverse dewarp grid.
+
+    For each line i, `frames` (N, 2, 3) is an affine mapping strip
+    pixel (x, y, 1) -> DEWARPED page coords; those are pushed through
+    the dewarp sample grid `hv` ((gh, gw, 2), cell size `res` — the
+    exact device twin of Grid.inverse_points) and the warped page is
+    gathered at the result. Columns past `widths[i]` return `fill`.
+    Returns (N, out_h, out_w) uint8.
+
+    Replaces the host loop of per-line grid builds + inverse_points
+    (reference: origami/core/block.py:223-259 line warps +
+    origami/core/dewarp.py inverse transform) with ONE dispatch whose
+    inputs are tiny (frames + the coarse grid).
+    """
+    img = image.astype(jnp.float32)
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    # keep the coordinate planes separate end to end: a stacked
+    # (..., 2) intermediate is lane-padded 2 -> 128 on TPU (64x
+    # memory; OOMs a full page of strips)
+    hvx = hv[..., 0]
+    hvy = hv[..., 1]
+
+    def one(frame, width):
+        dx = frame[0, 0] * xs[None, :] + frame[0, 1] * ys[:, None] \
+            + frame[0, 2]
+        dy = frame[1, 0] * xs[None, :] + frame[1, 1] * ys[:, None] \
+            + frame[1, 2]
+        # inverse dewarp: bilinear in the sample grid (matches
+        # Grid.inverse_points' clamp semantics)
+        gh, gw = hvx.shape
+        gx = jnp.clip(dx / res, 0.0, gw - 1 - 1e-6)
+        gy = jnp.clip(dy / res, 0.0, gh - 1 - 1e-6)
+        x0 = jnp.floor(gx).astype(jnp.int32)
+        y0 = jnp.floor(gy).astype(jnp.int32)
+        tx = gx - x0
+        ty = gy - y0
+        w00 = (1 - tx) * (1 - ty)
+        w01 = tx * (1 - ty)
+        w10 = (1 - tx) * ty
+        w11 = tx * ty
+
+        def interp(g):
+            return (g[y0, x0] * w00 + g[y0, x0 + 1] * w01
+                    + g[y0 + 1, x0] * w10 + g[y0 + 1, x0 + 1] * w11)
+
+        cx = interp(hvx)
+        cy = interp(hvy)
+        # pad columns -> far out of bounds -> fill
+        pad = xs[None, :] >= width
+        cx = jnp.where(pad, -1e6, cx)
+        cy = jnp.where(pad, -1e6, cy)
+        return bilinear_sample_xy(img, cx, cy, fill)
+
+    out = jax.vmap(one)(frames, widths.astype(jnp.float32))
+    return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+
+
+def identity_grid(page_w, page_h):
+    """A 2x2 dewarp sample grid whose inverse transform is the
+    identity (bilinear interpolation of a linear map is exact)."""
+    import numpy as np
+    res = float(max(page_w, page_h))
+    hv = np.array([[[0.0, 0.0], [res, 0.0]],
+                   [[0.0, res], [res, res]]], np.float32)
+    return hv, res
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
