@@ -145,33 +145,40 @@ class RegionState:
 
     @cached_property
     def binarized(self):
-        """Dewarped binarized page (1.0 = paper) with separator pixels
+        """Dewarped binarized page (True = paper) with separator pixels
         whitened so whitespace-split detection treats separator lines as
-        gaps, not content (reference layout.py:158-186)."""
+        gaps, not content (reference layout.py:158-186). One fused
+        device dispatch: sauvola + separator mask gather-through-the-
+        dewarp-grid + dilate + OR (this was 0.57 s/page of host numpy
+        round trips)."""
         import jax.numpy as jnp
-        from origami_tpu.ops.binarize import sauvola
+        from origami_tpu.ops.binarize import (binarize_with_separators,
+                                              sauvola)
+        from origami_tpu.ops.remap import identity_grid
         m_lh = self.median_line_height
-        window = max(3, (m_lh // 2) | 1)
-        binary = np.array(sauvola(jnp.asarray(self.grayscale), window),
-                          dtype=bool)
-        from origami_tpu.core.dewarp import Dewarper
-        for pred in self._segmentation.predictions:
-            if pred.type != PredictorType.SEPARATOR:
-                continue
-            bg = pred.classes["BACKGROUND"].value
-            mask = (pred.labels != bg).astype(np.uint8) * 255
-            # separator mask lives in label space; scale to page, dewarp
-            import cv2
-            mask = cv2.resize(mask, self._page.size(False),
-                              interpolation=cv2.INTER_NEAREST)
-            if self._grid is not None:
-                mask = Dewarper(mask, self._grid).dewarped
-            mask = cv2.dilate((np.asarray(mask) > 127).astype(np.uint8),
-                              np.ones((3, 3), np.uint8))
-            h = min(binary.shape[0], mask.shape[0])
-            w = min(binary.shape[1], mask.shape[1])
-            binary[:h, :w] |= mask[:h, :w] > 0
-        return binary.astype(np.float32)
+        # bucket the sauvola window so jit graphs are reused across
+        # pages with slightly different median line heights
+        window = max(3, (int(m_lh) // 2 // 8 * 8 + 4) | 1)
+        masks = [
+            pred.labels != pred.classes["BACKGROUND"].value
+            for pred in self._segmentation.predictions
+            if pred.type == PredictorType.SEPARATOR]
+        if not masks:
+            return np.array(sauvola(jnp.asarray(self.grayscale), window),
+                            dtype=bool)
+        sep = masks[0]
+        for m in masks[1:]:
+            h = min(sep.shape[0], m.shape[0])
+            w = min(sep.shape[1], m.shape[1])
+            sep = sep[:h, :w] | m[:h, :w]
+        if self._grid is not None:
+            hv = self._grid.points("sample")
+            res = float(self._grid.resolution)
+        else:
+            hv, res = identity_grid(*self._page.size(False))
+        return np.array(binarize_with_separators(
+            jnp.asarray(self.grayscale), window, jnp.asarray(sep),
+            jnp.asarray(hv), res), dtype=bool)
 
     # -- line statistics ---------------------------------------------------
     @property
@@ -737,6 +744,10 @@ class SplitDetector:
         import scipy.ndimage
         if pixels.dtype == np.uint8:
             pixels = pixels.astype(np.float32) / 255.0
+        elif pixels.dtype != np.float32:
+            # bool crops from Regions.binarized: keep the FFT in f32
+            # (float64 periodograms double the stage's host time)
+            pixels = pixels.astype(np.float32)
         if pixels.shape[0] < 4 or pixels.shape[1] < 4:
             return np.array([], dtype=int), dict(peak_heights=np.array([]))
         freq, dens = scipy.signal.periodogram(pixels, axis=0)

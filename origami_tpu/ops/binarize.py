@@ -84,3 +84,53 @@ def otsu_threshold(image):
 def otsu(image):
     t = otsu_threshold(image)
     return image.astype(jnp.float32) > t
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def binarize_with_separators(image, window_size, sep_mask, hv, res):
+    """Layout-stage page binarization fused into ONE dispatch.
+
+    Sauvola-binarize the dewarped page and whiten separator pixels so
+    whitespace-split detection treats separator lines as gaps
+    (reference origami/batch/detect/layout.py:158-186 does this as
+    skimage sauvola + cv2.resize + cv2.remap + cv2.dilate on host).
+
+    `sep_mask` (lh, lw) bool lives in label space of the WARPED page;
+    each dewarped output pixel maps through the dewarp sample grid
+    `hv`/`res` (pass ops.remap.identity_grid for no dewarping) to
+    warped page coords, scaled into label space, and nearest-gathered;
+    the gathered mask is 3x3-dilated and OR'd into the binary page.
+    Returns (H, W) bool, True = paper/gap.
+    """
+    binary = sauvola(image, window_size)
+    h, w = binary.shape
+    gh, gw = hv.shape[:2]
+    lh, lw = sep_mask.shape
+    ys = jnp.arange(h, dtype=jnp.float32) / res
+    xs = jnp.arange(w, dtype=jnp.float32) / res
+    gy = jnp.clip(ys, 0.0, gh - 1 - 1e-6)
+    gx = jnp.clip(xs, 0.0, gw - 1 - 1e-6)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    ty = (gy - y0)[:, None]
+    tx = (gx - x0)[None, :]
+
+    def interp(g):
+        top = g[y0][:, x0] * (1 - tx) + g[y0][:, x0 + 1] * tx
+        bot = g[y0 + 1][:, x0] * (1 - tx) + g[y0 + 1][:, x0 + 1] * tx
+        return top * (1 - ty) + bot * ty
+
+    # warped-page coords per dewarped pixel (separable: the upsampled
+    # map is bilinear in the grid, so interpolate rows x cols directly)
+    wx = interp(hv[..., 0])
+    wy = interp(hv[..., 1])
+    # label space: the mask was rendered at (lw, lh) for the warped page
+    # scaled by (lw / w, lh / h) of the WARPED size == mask's own shape
+    # over the warped page shape; the warped page has the same shape as
+    # the dewarped output here (dewarp preserves size).
+    mi = jnp.clip(jnp.round(wy * (lh / h)).astype(jnp.int32), 0, lh - 1)
+    mj = jnp.clip(jnp.round(wx * (lw / w)).astype(jnp.int32), 0, lw - 1)
+    sep = sep_mask.astype(jnp.float32)[mi, mj]
+    sep = jax.lax.reduce_window(
+        sep, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+    return binary | (sep > 0.5)
