@@ -178,8 +178,12 @@ class LineExtractor:
                 res = float(page.grid.resolution)
             else:
                 hv, res = identity_grid(*page.size())
-            # bucket N and padded width to bound jit recompiles
-            nb = -(-len(group) // 32) * 32
+            # bucket N (powers of two) and padded width to bound jit
+            # recompiles: every distinct (N, W) pair is a fresh graph
+            # through the remote compiler
+            nb = 32
+            while nb < len(group):
+                nb *= 2
             wmax = -(-max(widths) // 512) * 512
             fr = np.zeros((nb, 2, 3), np.float32)
             fr[: len(group)] = np.stack(frames)

@@ -112,9 +112,15 @@ class RecognizerPredictor:
         for bucket, idxs in groups.items():
             for start in range(0, len(idxs), self._batch_size):
                 part = idxs[start: start + self._batch_size]
-                x = np.zeros((len(part), self.line_height, bucket, 1),
+                # pad the batch axis to a static ladder: a distinct
+                # batch size is a fresh LSTM jit compile (minutes over
+                # the remote-compile tunnel), so partial batches must
+                # not mint new graphs
+                nb = min(b for b in {8, 32, self._batch_size}
+                         if b >= len(part))
+                x = np.zeros((nb, self.line_height, bucket, 1),
                              np.float32)
-                w = np.zeros((len(part),), np.float32)
+                w = np.ones((nb,), np.float32)
                 for j, i in enumerate(part):
                     inv, sw = pack_strip(
                         strips[i][1], bucket, self.line_height,

@@ -184,25 +184,35 @@ class EstimatePolyline:
 
     def __call__(self, mask):
         from origami_tpu.core.polyline import (
-            Polyline, estimate_polyline, polyline_from_polygon)
+            Polyline, polyline_from_graph, polyline_from_polygon)
+        from origami_tpu.core.skeleton import (full_mask_skeleton,
+                                               trace_skeleton)
         m = (np.asarray(mask) > 0).astype(np.uint8)
         n, labels, stats, _ = cv2.connectedComponentsWithStats(
             m, connectivity=8)
+        if n <= 1:
+            return []
+        # ONE device pass thins the whole class mask and computes the
+        # EDT; components are 8-disjoint so per-component thinning ==
+        # cropping the full-page skeleton (per-component dispatches
+        # cost ~30 ms tunnel latency EACH — dozens per page)
+        sk_full, dist_full = full_mask_skeleton(m > 0)
         out = []
         for i in range(1, n):
             if stats[i, cv2.CC_STAT_AREA] < 8:
                 continue
-            # work on the component's bbox crop — thinning the full
-            # page once per component is O(components x page)
             x0 = stats[i, cv2.CC_STAT_LEFT]
             y0 = stats[i, cv2.CC_STAT_TOP]
             cw = stats[i, cv2.CC_STAT_WIDTH]
             ch = stats[i, cv2.CC_STAT_HEIGHT]
-            comp = (labels[y0:y0 + ch, x0:x0 + cw] == i)
-            comp = np.pad(comp, 2)
-            pl = estimate_polyline(comp, self._orientation, self._tol)
+            csel = labels[y0:y0 + ch, x0:x0 + cw] == i
+            sk = np.pad(sk_full[y0:y0 + ch, x0:x0 + cw] & csel, 2)
+            dist = np.pad(dist_full[y0:y0 + ch, x0:x0 + cw], 2)
+            pl = polyline_from_graph(
+                trace_skeleton(sk, dist=dist), self._orientation,
+                self._tol)
             if pl is None:
-                polys = find_contour_polygons(comp)
+                polys = find_contour_polygons(np.pad(csel, 2))
                 if polys:
                     pl = polyline_from_polygon(
                         polys[0], self._orientation, self._tol)

@@ -102,8 +102,10 @@ class Page:
         return self._grid
 
     def size(self, dewarped=False):
-        px = self.dewarped if dewarped else self._pixels
-        h, w = px.shape[:2]
+        # dewarping preserves the page shape (Dewarper samples the
+        # warped image onto a same-size canvas) — don't materialize a
+        # full-page device remap just for its dimensions
+        h, w = self._pixels.shape[:2]
         return (w, h)
 
     def geometry(self, dewarped=False):

@@ -101,6 +101,13 @@ def estimate_polyline(mask, orientation, simplify_tol=3.0):
     """
     from origami_tpu.core.skeleton import FastSkeleton
     graph = FastSkeleton()(mask)
+    return polyline_from_graph(graph, orientation, simplify_tol)
+
+
+def polyline_from_graph(graph, orientation, simplify_tol=3.0):
+    """Dominant polyline of an already-traced SkeletonGraph (callers
+    that thin many components in one device pass trace each component
+    on host and come here)."""
     direction = orientation.direction
     path = graph.longest_path(direction=direction)
     if path is None or len(path) < 2:

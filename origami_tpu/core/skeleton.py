@@ -227,3 +227,28 @@ class FastSkeleton:
         d_bg = np.asarray(label_edt(jnp.asarray(
             (~padded).astype(np.float32))))[:h, :w]
         return trace_skeleton(sk, dist=d_bg)
+
+
+def full_mask_skeleton(mask):
+    """(skeleton, edt) of a whole class mask in ONE device pass.
+
+    Thinning is 3x3-local and 8-connected components are disjoint, so
+    the full-mask skeleton cropped to a component's bbox equals
+    thinning that component alone — callers trace each component on
+    host (trace_skeleton) instead of paying a device dispatch per
+    component (~30 ms tunnel latency each).
+    Returns (bool (h, w) skeleton, float32 (h, w) background EDT).
+    """
+    import jax.numpy as jnp
+    from origami_tpu.ops.morphology import label_edt, skeletonize
+    ink = np.asarray(mask) > 0
+    h, w = ink.shape
+    ph = FastSkeleton._bucket(h + 4)
+    pw = FastSkeleton._bucket(w + 4)
+    padded = np.zeros((ph, pw), dtype=bool)
+    padded[2:h + 2, 2:w + 2] = ink
+    dev = jnp.asarray(padded)
+    sk = np.asarray(skeletonize(dev))[2:h + 2, 2:w + 2]
+    d_bg = np.asarray(label_edt(jnp.asarray(
+        (~padded).astype(np.float32))))[2:h + 2, 2:w + 2]
+    return sk, d_bg.astype(np.float32)
