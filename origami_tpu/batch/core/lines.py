@@ -122,7 +122,8 @@ class LineExtractor:
             f = o(f)
         return f
 
-    def __call__(self, lines, ignored=None):
+    def parts(self, lines, ignored=None):
+        """Filter + table-split lines into extraction parts."""
         if ignored is not None:
             lines = {k: v for k, v in lines.items()
                      if not ignored(tuple(k[:2]))}
@@ -133,19 +134,26 @@ class LineExtractor:
                              path, line.confidence)
                 continue
             kept[path] = line
-        parts = self._rewriter(kept)
-        return self.extract(parts)
+        return self._rewriter(kept)
 
-    def extract(self, parts):
-        """parts: [(path, line, column)] -> [(path, strip_uint8)].
+    def __call__(self, lines, ignored=None):
+        return self.extract(self.parts(lines, ignored=ignored))
+
+    def device_groups(self, parts):
+        """parts: [(path, line, column)] -> yield per source page
+        (paths, device strips (nb, th, wmax) uint8, widths (n,), wmax).
 
         All strips of a page are gathered in ONE fused device dispatch
         (affine strip grid -> inverse dewarp grid -> page gather -> u8;
         ops.remap.extract_dewarped_strips). Host work per line is just
-        the (2, 3) frame. N and the padded width are bucketed so jit
-        graphs are reused across pages."""
+        the (2, 3) frame. N (powers of two) and the padded width
+        (512-ladder) are bucketed so jit graphs are reused across
+        pages; rows past len(paths) are padding. The strips stay on
+        device — consumers that batch further (OCR) feed them straight
+        into the recognizer without a host round trip (the padded
+        batch was ~10x the useful bytes through the tunnel)."""
         if not parts:
-            return []
+            return
         dewarp = not self._options.get("do_not_dewarp", False)
         th = self._line_height
 
@@ -153,8 +161,6 @@ class LineExtractor:
         from origami_tpu.ops.remap import (extract_dewarped_strips,
                                            identity_grid)
 
-        # group by source page object (normally one)
-        out = []
         by_page = collections.defaultdict(list)
         for path, line, column in parts:
             by_page[id(line.block.page)].append((path, line, column))
@@ -178,9 +184,6 @@ class LineExtractor:
                 res = float(page.grid.resolution)
             else:
                 hv, res = identity_grid(*page.size())
-            # bucket N (powers of two) and padded width to bound jit
-            # recompiles: every distinct (N, W) pair is a fresh graph
-            # through the remote compiler
             nb = 32
             while nb < len(group):
                 nb *= 2
@@ -189,10 +192,22 @@ class LineExtractor:
             fr[: len(group)] = np.stack(frames)
             wd = np.zeros(nb, np.int32)
             wd[: len(group)] = widths
-            strips = np.asarray(extract_dewarped_strips(
+            strips = extract_dewarped_strips(
                 jnp.asarray(np.asarray(page.warped)), jnp.asarray(hv),
-                res, jnp.asarray(fr), jnp.asarray(wd), th, wmax))
-            for i, (path, line, _) in enumerate(group):
+                res, jnp.asarray(fr), jnp.asarray(wd), th, wmax)
+            yield ([g[0] for g in group], strips,
+                   np.asarray(widths, np.int32), wmax)
+
+    @property
+    def binarizer(self):
+        return self._binarizer
+
+    def extract(self, parts):
+        """parts: [(path, line, column)] -> [(path, strip_uint8)]."""
+        out = []
+        for paths, dev, widths, _ in self.device_groups(parts):
+            strips = np.asarray(dev)
+            for i, path in enumerate(paths):
                 strip = strips[i, :, : widths[i]]
                 if self._binarizer is not None:
                     strip = self._binarizer(strip)

@@ -96,6 +96,46 @@ class RecognizerPredictor:
         self._infer = jax.jit(infer)
         self._infer_voted = jax.jit(infer_voted)
 
+        def recognize_u8(params, strips_u8, widths):
+            """Fused device path: normalize + infer + greedy decode on
+            uint8 strips straight from the line extractor — texts come
+            back as small id arrays; the padded strip batch never
+            round-trips through the host (the tunnel moves ~10x the
+            useful bytes otherwise)."""
+            x = 1.0 - strips_u8.astype(jnp.float32)[..., None] / 255.0
+            w = jnp.maximum(widths.astype(jnp.float32), 1.0)
+            if self._voting:
+                logits, pad = infer_voted(params, x, w)
+            else:
+                logits, pad = infer(params, x, w)
+            return ctc.greedy_decode(logits, pad)
+
+        self._recognize_u8 = jax.jit(recognize_u8)
+
+    def supports_device_strips(self, wmax):
+        """Device-resident groups need greedy decode and widths within
+        the largest compile bucket (wider lines take the host path,
+        which downscales them)."""
+        return self._decoder == "greedy" and wmax <= 2048
+
+    def predict_device(self, strips_dev, widths, n):
+        """Recognize a padded on-device strip batch (nb, H, W) uint8
+        with per-row pixel widths; returns (texts, confs) for the
+        first n rows. One fused dispatch; only ids/lengths/conf
+        transfer back."""
+        import jax.numpy as jnp
+        nb = strips_dev.shape[0]
+        w = np.ones((nb,), np.float32)
+        w[: len(widths)] = widths
+        ids, lengths, conf = self._recognize_u8(
+            self._params, strips_dev, jnp.asarray(w))
+        ids = np.asarray(ids)
+        lengths = np.asarray(lengths)
+        conf = np.asarray(conf)
+        texts = [self._ctc.ids_to_text(ids[j], lengths[j], self._charset)
+                 for j in range(n)]
+        return texts, [float(c) for c in conf[:n]]
+
     def predict(self, strips):
         """strips: [(path, uint8 (H, W))] -> (texts, confidences)."""
         import jax.numpy as jnp
@@ -212,34 +252,54 @@ class OCRProcessor(BatchedProcessor):
         predictor = self._get_predictor()
         dry = self._model_spec.upper() == "DRY"
 
-        all_strips = []
-        spans = []
+        # page -> [(path, text)], assembled from device-resident
+        # groups where possible and the host strip path otherwise
+        page_texts = {}
+        host_strips = []          # [(page_path, path, strip)]
+        infos = {}
         for page_path, kwargs in pages:
             reliable = kwargs["reliable"]
             extractor = LineExtractor(
                 reliable.tables, predictor.line_height, self._opt,
                 min_confidence=reliable.lines.min_confidence)
-            strips = extractor(reliable.lines.by_path,
-                               ignored=self._ignored)
-            spans.append((page_path, kwargs, len(all_strips),
-                          len(all_strips) + len(strips)))
-            all_strips.extend(strips)
-
-        infos = {}
+            parts = extractor.parts(reliable.lines.by_path,
+                                    ignored=self._ignored)
+            page_texts[page_path] = []
+            if dry:
+                for path, _, _ in parts:
+                    logging.info("would OCR %s", "/".join(map(str, path)))
+                infos[page_path] = dict(n_lines=len(parts), dry=True)
+                continue
+            device_ok = (extractor.binarizer is None
+                         and hasattr(predictor, "predict_device"))
+            for paths, dev, widths, wmax in \
+                    extractor.device_groups(parts):
+                if device_ok and predictor.supports_device_strips(wmax):
+                    texts, _ = predictor.predict_device(
+                        dev, widths, len(paths))
+                    page_texts[page_path].extend(zip(paths, texts))
+                else:
+                    strips = np.asarray(dev)
+                    for i, path in enumerate(paths):
+                        strip = strips[i, :, : widths[i]]
+                        if extractor.binarizer is not None:
+                            strip = extractor.binarizer(strip)
+                        host_strips.append((page_path, path, strip))
         if dry:
-            for path, _ in all_strips:
-                logging.info("would OCR %s", "/".join(map(str, path)))
-            for page_path, kwargs, a, b in spans:
-                infos[page_path] = dict(n_lines=b - a, dry=True)
             return infos
 
-        texts, confs = predictor.predict(all_strips)
+        if host_strips:
+            texts, _ = predictor.predict(
+                [(path, strip) for _, path, strip in host_strips])
+            for (page_path, path, _), text in zip(host_strips, texts):
+                page_texts[page_path].append((path, text))
 
-        for page_path, kwargs, a, b in spans:
+        for page_path, kwargs in pages:
+            entries = page_texts[page_path]
             with kwargs["output"].ocr() as zf:
-                for (path, _), text in zip(all_strips[a:b], texts[a:b]):
+                for path, text in entries:
                     zf.writestr("/".join(map(str, path)) + ".txt", text)
-            infos[page_path] = dict(n_lines=b - a)
+            infos[page_path] = dict(n_lines=len(entries))
         return infos
 
 

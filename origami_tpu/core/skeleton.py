@@ -215,40 +215,50 @@ class FastSkeleton:
         return b
 
     def __call__(self, mask):
-        import jax.numpy as jnp
-        from origami_tpu.ops.morphology import skeletonize, label_edt
         ink = np.asarray(mask) > 0
-        h, w = ink.shape
-        ph, pw = self._bucket(h), self._bucket(w)
-        padded = np.zeros((ph, pw), dtype=bool)
-        padded[:h, :w] = ink
-        sk = np.asarray(skeletonize(jnp.asarray(padded)))[:h, :w]
-        # stroke half-width = distance from background at each ink pixel
-        d_bg = np.asarray(label_edt(jnp.asarray(
-            (~padded).astype(np.float32))))[:h, :w]
+        sk, d_bg = _thin_and_edt(ink)
         return trace_skeleton(sk, dist=d_bg)
 
 
+def _thin_and_edt(ink):
+    """(skeleton, background-EDT) of a padded bool mask.
+
+    Native C++ (geometry.native_bindings) when built — the Zhang-Suen
+    while-loop device graph cold-compiles in MINUTES through the
+    remote TPU compiler and a page costs ~10 ms on host; the device
+    kernels remain the fallback (bit-identical, ops/morphology)."""
+    h, w = ink.shape
+    try:
+        from origami_tpu.geometry.native_bindings import (
+            chamfer_edt_native, thin_mask_native)
+        sk = thin_mask_native(ink)
+        if sk is not None:
+            return sk, chamfer_edt_native(~ink)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from origami_tpu.ops.morphology import label_edt, skeletonize
+    ph, pw = FastSkeleton._bucket(h), FastSkeleton._bucket(w)
+    padded = np.zeros((ph, pw), dtype=bool)
+    padded[:h, :w] = ink
+    sk = np.asarray(skeletonize(jnp.asarray(padded)))[:h, :w]
+    d_bg = np.asarray(label_edt(jnp.asarray(
+        (~padded).astype(np.float32))))[:h, :w]
+    return sk, d_bg.astype(np.float32)
+
+
 def full_mask_skeleton(mask):
-    """(skeleton, edt) of a whole class mask in ONE device pass.
+    """(skeleton, edt) of a whole class mask in ONE pass.
 
     Thinning is 3x3-local and 8-connected components are disjoint, so
     the full-mask skeleton cropped to a component's bbox equals
     thinning that component alone — callers trace each component on
-    host (trace_skeleton) instead of paying a device dispatch per
-    component (~30 ms tunnel latency each).
+    host (trace_skeleton) instead of paying a call per component.
     Returns (bool (h, w) skeleton, float32 (h, w) background EDT).
     """
-    import jax.numpy as jnp
-    from origami_tpu.ops.morphology import label_edt, skeletonize
     ink = np.asarray(mask) > 0
     h, w = ink.shape
-    ph = FastSkeleton._bucket(h + 4)
-    pw = FastSkeleton._bucket(w + 4)
-    padded = np.zeros((ph, pw), dtype=bool)
+    padded = np.zeros((h + 4, w + 4), dtype=bool)
     padded[2:h + 2, 2:w + 2] = ink
-    dev = jnp.asarray(padded)
-    sk = np.asarray(skeletonize(dev))[2:h + 2, 2:w + 2]
-    d_bg = np.asarray(label_edt(jnp.asarray(
-        (~padded).astype(np.float32))))[2:h + 2, 2:w + 2]
-    return sk, d_bg.astype(np.float32)
+    sk, d_bg = _thin_and_edt(padded)
+    return sk[2:h + 2, 2:w + 2], d_bg[2:h + 2, 2:w + 2]

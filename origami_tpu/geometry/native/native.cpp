@@ -704,3 +704,75 @@ double min_seg_dist(const double* sa, int na, const double* sb, int nb,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Zhang-Suen thinning in place on a 0/1 uint8 mask (parallel
+// subiteration update — identical conventions to the device kernel in
+// ops/morphology._zs_subiter). Returns iterations used. Host-native
+// because the while-loop device formulation cold-compiles in minutes
+// through the remote TPU compiler and a page costs only ~10 ms here.
+int thin_mask(uint8_t* img, int h, int w, int max_iter) {
+    std::vector<uint8_t> rem((size_t)h * w);
+    auto at = [&](int y, int x) -> int {
+        return (y >= 0 && y < h && x >= 0 && x < w) ? img[y * w + x] : 0;
+    };
+    int it = 0;
+    for (; it < max_iter; it++) {
+        bool changed = false;
+        for (int step = 0; step < 2; step++) {
+            std::fill(rem.begin(), rem.end(), 0);
+            for (int y = 0; y < h; y++) {
+                for (int x = 0; x < w; x++) {
+                    if (!img[y * w + x]) continue;
+                    int p2 = at(y - 1, x), p3 = at(y - 1, x + 1);
+                    int p4 = at(y, x + 1), p5 = at(y + 1, x + 1);
+                    int p6 = at(y + 1, x), p7 = at(y + 1, x - 1);
+                    int p8 = at(y, x - 1), p9 = at(y - 1, x - 1);
+                    int b = p2 + p3 + p4 + p5 + p6 + p7 + p8 + p9;
+                    if (b < 2 || b > 6) continue;
+                    int ring[9] = {p2, p3, p4, p5, p6, p7, p8, p9, p2};
+                    int a = 0;
+                    for (int i = 0; i < 8; i++)
+                        a += (ring[i] == 0 && ring[i + 1] == 1);
+                    if (a != 1) continue;
+                    bool c2 = step == 0
+                        ? (p2 * p4 * p6 == 0 && p4 * p6 * p8 == 0)
+                        : (p2 * p4 * p8 == 0 && p2 * p6 * p8 == 0);
+                    if (!c2) continue;
+                    rem[y * w + x] = 1;
+                }
+            }
+            for (size_t i = 0; i < (size_t)h * w; i++)
+                if (rem[i]) { img[i] = 0; changed = true; }
+        }
+        if (!changed) break;
+    }
+    return it;
+}
+
+// City-block distance to the nearest set pixel of `src` (two-pass
+// chamfer — the host twin of ops/morphology.label_edt).
+void chamfer_edt(const uint8_t* src, int h, int w, float* out) {
+    const float BIG = 1e6f;
+    for (size_t i = 0; i < (size_t)h * w; i++)
+        out[i] = src[i] ? 0.f : BIG;
+    for (int y = 0; y < h; y++) {
+        for (int x = 0; x < w; x++) {
+            float v = out[y * w + x];
+            if (y > 0) v = std::min(v, out[(y - 1) * w + x] + 1.f);
+            if (x > 0) v = std::min(v, out[y * w + x - 1] + 1.f);
+            out[y * w + x] = v;
+        }
+    }
+    for (int y = h - 1; y >= 0; y--) {
+        for (int x = w - 1; x >= 0; x--) {
+            float v = out[y * w + x];
+            if (y < h - 1) v = std::min(v, out[(y + 1) * w + x] + 1.f);
+            if (x < w - 1) v = std::min(v, out[y * w + x + 1] + 1.f);
+            out[y * w + x] = v;
+        }
+    }
+}
+
+}  // extern "C"

@@ -199,3 +199,48 @@ def min_seg_dist_native(segs_a, segs_b, cutoff=0.0):
         sa.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(sa),
         sb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(sb),
         float(cutoff)))
+
+
+def _bind_thin(lib):
+    if getattr(lib, "_thin_bound", False):
+        return
+    lib.thin_mask.restype = ctypes.c_int
+    lib.thin_mask.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int]
+    lib.chamfer_edt.restype = None
+    lib.chamfer_edt.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float)]
+    lib._thin_bound = True
+
+
+def thin_mask_native(mask, max_iter=128):
+    """Zhang-Suen thin a bool mask on host; None when the native
+    library is unavailable. Matches ops/morphology.skeletonize."""
+    lib = _load()
+    if lib is None:
+        return None
+    _bind_thin(lib)
+    img = np.ascontiguousarray(mask, np.uint8)
+    img = (img > 0).astype(np.uint8)
+    h, w = img.shape
+    lib.thin_mask(img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                  h, w, int(max_iter))
+    return img > 0
+
+
+def chamfer_edt_native(mask):
+    """City-block distance to the nearest set pixel of `mask`; None
+    when the native library is unavailable. Matches
+    ops/morphology.label_edt."""
+    lib = _load()
+    if lib is None:
+        return None
+    _bind_thin(lib)
+    src = (np.ascontiguousarray(mask, np.uint8) > 0).astype(np.uint8)
+    h, w = src.shape
+    out = np.empty((h, w), np.float32)
+    lib.chamfer_edt(src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    h, w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out

@@ -21,13 +21,54 @@ class BiLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, x, lengths):
-        # x: (B, T, F)
-        cell = nn.OptimizedLSTMCell(self.features)
-        ScanLSTM = nn.RNN(cell)
-        fwd = ScanLSTM(x)
+        # x: (B, T, F); lengths (B,) int. seq_lengths makes the
+        # backward sweep start at each row's LAST VALID frame instead
+        # of the bucket end — without it, logits depend on how much
+        # padding the compile bucket adds (not bucket-invariant, and
+        # device-batched strips would decode differently than
+        # host-bucketed ones).
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.features))(
+            x, seq_lengths=lengths)
         bwd = nn.RNN(nn.OptimizedLSTMCell(self.features), reverse=True,
-                     keep_order=True)(x)
+                     keep_order=True)(x, seq_lengths=lengths)
         return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class MaskedGroupNorm(nn.Module):
+    """GroupNorm whose statistics ignore width padding.
+
+    nn.GroupNorm reduces over the full (H, W, C/G) extent, so a line's
+    normalized values depend on how much padding its compile bucket
+    adds — the same strip decodes differently at bucket 128 vs 512.
+    Masking the stats to the valid width makes logits bucket-invariant
+    (device-batched and host-bucketed strips agree exactly). Parameter
+    names/shapes match nn.GroupNorm ("scale"/"bias" per channel), so
+    checkpoints are interchangeable.
+    """
+
+    num_groups: int
+
+    @nn.compact
+    def __call__(self, x, t_len):
+        # x (B, H, W, C); t_len (B,) valid width
+        c = x.shape[-1]
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        xf = x.astype(jnp.float32)
+        b, h, w, _ = xf.shape
+        xg = xf.reshape(b, h, w, g, c // g)
+        mask = (jnp.arange(w)[None, :] < t_len[:, None]) \
+            .astype(jnp.float32)[:, None, :, None, None]
+        cnt = jnp.maximum(
+            jnp.sum(mask * jnp.ones_like(xg), axis=(1, 2, 4),
+                    keepdims=True), 1e-6)
+        mean = jnp.sum(xg * mask, axis=(1, 2, 4), keepdims=True) / cnt
+        var = jnp.sum(((xg - mean) * mask) ** 2,
+                      axis=(1, 2, 4), keepdims=True) / cnt
+        y = (xg - mean) / jnp.sqrt(var + 1e-6)
+        y = y.reshape(b, h, w, c)
+        return (y * scale + bias).astype(x.dtype)
 
 
 class LineRecognizer(nn.Module):
@@ -44,30 +85,39 @@ class LineRecognizer(nn.Module):
         x = x.astype(self.dtype)
         h = x.shape[1]
         time_stride = 1
+        if widths is not None:
+            cur_w = jnp.maximum(widths.astype(jnp.float32), 1.0)
+        else:
+            cur_w = jnp.full((x.shape[0],), float(x.shape[2]))
         for i, f in enumerate(self.conv_features):
             x = nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype,
                         use_bias=False)(x)
-            x = nn.GroupNorm(num_groups=8, dtype=jnp.float32)(x)
+            x = MaskedGroupNorm(num_groups=8,
+                                name="GroupNorm_%d" % i)(
+                x, jnp.ceil(cur_w).astype(jnp.int32))
             x = nn.gelu(x)
             if i < 2:
                 # pool H and W early (time downsample x4 overall)
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 time_stride *= 2
+                cur_w = cur_w / 2
             else:
                 x = nn.max_pool(x, (2, 1), strides=(2, 1))
         # collapse the remaining height into features: (B, T, H'*C)
         b, hh, ww, cc = x.shape
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, ww, hh * cc)
         x = x.astype(jnp.float32)
-        x = BiLSTM(self.lstm_features)(x, None)
+        if widths is not None:
+            t_len = jnp.clip(jnp.ceil(widths / time_stride)
+                             .astype(jnp.int32), 1, ww)
+        else:
+            t_len = jnp.full((b,), ww, jnp.int32)
+        x = BiLSTM(self.lstm_features)(x, t_len)
         x = nn.Dense(self.lstm_features)(x)
         x = nn.gelu(x)
         logits = nn.Dense(self.num_symbols + 1)(x)   # blank at index 0
-        if widths is not None:
-            t_len = jnp.ceil(widths / time_stride).astype(jnp.int32)
-            pad = (jnp.arange(ww)[None, :] >= t_len[:, None]).astype(jnp.float32)
-        else:
-            pad = jnp.zeros((b, ww), jnp.float32)
+        pad = (jnp.arange(ww)[None, :] >= t_len[:, None]) \
+            .astype(jnp.float32)
         return logits, pad
 
     @property
