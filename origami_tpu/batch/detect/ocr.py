@@ -121,20 +121,39 @@ class RecognizerPredictor:
     def predict_device(self, strips_dev, widths, n):
         """Recognize a padded on-device strip batch (nb, H, W) uint8
         with per-row pixel widths; returns (texts, confs) for the
-        first n rows. One fused dispatch; only ids/lengths/conf
-        transfer back."""
+        first n rows. Only ids/lengths/conf transfer back.
+
+        The LSTM graph compiles in MINUTES through the remote TPU
+        compiler, so it must only ever see STATIC shapes: the batch is
+        device-padded/sliced to (batch_size, H, bucket) chunks with
+        bucket in the power-of-two width ladder — at most
+        len(buckets) recognizer compiles for the process lifetime.
+        The pad/slice graphs around it are trivial data movement."""
         import jax.numpy as jnp
-        nb = strips_dev.shape[0]
-        w = np.ones((nb,), np.float32)
+        nb, th, w_in = strips_dev.shape
+        bucket = self._width_buckets([w_in])[0]
+        B = self._batch_size
+        chunks = -(-max(n, 1) // B)
+        dev = strips_dev
+        if w_in < bucket or nb < chunks * B:
+            dev = jnp.pad(dev, ((0, max(chunks * B - nb, 0)),
+                                (0, 0), (0, bucket - w_in)),
+                          constant_values=255)
+        w = np.ones((chunks * B,), np.float32)
         w[: len(widths)] = widths
-        ids, lengths, conf = self._recognize_u8(
-            self._params, strips_dev, jnp.asarray(w))
-        ids = np.asarray(ids)
-        lengths = np.asarray(lengths)
-        conf = np.asarray(conf)
-        texts = [self._ctc.ids_to_text(ids[j], lengths[j], self._charset)
-                 for j in range(n)]
-        return texts, [float(c) for c in conf[:n]]
+        texts, confs = [], []
+        for c in range(chunks):
+            ids, lengths, conf = self._recognize_u8(
+                self._params, dev[c * B: (c + 1) * B],
+                jnp.asarray(w[c * B: (c + 1) * B]))
+            ids = np.asarray(ids)
+            lengths = np.asarray(lengths)
+            conf = np.asarray(conf)
+            for j in range(min(B, n - c * B)):
+                texts.append(self._ctc.ids_to_text(
+                    ids[j], lengths[j], self._charset))
+                confs.append(float(conf[j]))
+        return texts, confs
 
     def predict(self, strips):
         """strips: [(path, uint8 (H, W))] -> (texts, confidences)."""
