@@ -98,10 +98,12 @@ class LineRewriter:
 
 
 class LineExtractor:
-    def __init__(self, tables, line_height, options, min_confidence=0.5):
+    def __init__(self, tables, line_height, options, min_confidence=0.5,
+                 max_width=None):
         self._line_height = int(line_height)
         self._options = options
         self._min_confidence = min_confidence
+        self._max_width = max_width
         self._rewriter = LineRewriter(tables)
         spec = options.get("binarize", "").strip()
         if spec:
@@ -167,7 +169,7 @@ class LineExtractor:
         for group in by_page.values():
             page = group[0][1].block.page
             frames, widths = [], []
-            for _, line, column in group:
+            for lpath, line, column in group:
                 # preserve the glyph aspect ratio: the band (ascent +
                 # descent high) is scaled to th rows, so sample x at
                 # the same magnification (Calamari-style line
@@ -177,6 +179,20 @@ class LineExtractor:
                 xres = th / max(band_h, 1.0)
                 frame, width = line.dewarped_frame(th, xres=xres,
                                                    column=column)
+                if self._max_width and width > self._max_width:
+                    # sample-time squeeze: very wide lines (full-width
+                    # newspaper rules/tables) are extracted at reduced
+                    # x magnification so they fit the recognizer's
+                    # largest width bucket (the host path's cv2
+                    # INTER_AREA downscale, folded into the gather)
+                    logging.warning(
+                        "line %s wider than %d px (%d): sampling "
+                        "squeezed", "/".join(map(str, lpath)),
+                        self._max_width, width)
+                    frame, width = line.dewarped_frame(
+                        th, xres=xres * self._max_width / width,
+                        column=column)
+                    width = min(width, self._max_width)
                 frames.append(frame)
                 widths.append(width)
             if dewarp and page.grid is not None:
@@ -184,19 +200,30 @@ class LineExtractor:
                 res = float(page.grid.resolution)
             else:
                 hv, res = identity_grid(*page.size())
-            nb = 32
-            while nb < len(group):
-                nb *= 2
-            wmax = -(-max(widths) // 512) * 512
-            fr = np.zeros((nb, 2, 3), np.float32)
-            fr[: len(group)] = np.stack(frames)
-            wd = np.zeros(nb, np.int32)
-            wd[: len(group)] = widths
-            strips = extract_dewarped_strips(
-                jnp.asarray(np.asarray(page.warped)), jnp.asarray(hv),
-                res, jnp.asarray(fr), jnp.asarray(wd), th, wmax)
-            yield ([g[0] for g in group], strips,
-                   np.asarray(widths, np.int32), wmax)
+            # sub-group by width bucket: one page-max width would run
+            # every short line at the longest line's sequence length
+            # (4x the LSTM time for a page with one full-width rule)
+            buckets = collections.defaultdict(list)
+            for i, wid in enumerate(widths):
+                b = 256
+                while b < wid:
+                    b *= 2
+                buckets[min(b, 2048 if self._max_width else b)].append(i)
+            img_dev = jnp.asarray(np.asarray(page.warped))
+            hv_dev = jnp.asarray(hv)
+            for wmax, idxs in sorted(buckets.items()):
+                nb = 32
+                while nb < len(idxs):
+                    nb *= 2
+                fr = np.zeros((nb, 2, 3), np.float32)
+                fr[: len(idxs)] = np.stack([frames[i] for i in idxs])
+                wd = np.zeros(nb, np.int32)
+                wd[: len(idxs)] = [widths[i] for i in idxs]
+                strips = extract_dewarped_strips(
+                    img_dev, hv_dev, res, jnp.asarray(fr),
+                    jnp.asarray(wd), th, wmax)
+                yield ([group[i][0] for i in idxs], strips,
+                       wd[: len(idxs)].copy(), wmax)
 
     @property
     def binarizer(self):

@@ -280,7 +280,8 @@ class OCRProcessor(BatchedProcessor):
             reliable = kwargs["reliable"]
             extractor = LineExtractor(
                 reliable.tables, predictor.line_height, self._opt,
-                min_confidence=reliable.lines.min_confidence)
+                min_confidence=reliable.lines.min_confidence,
+                max_width=2048)
             parts = extractor.parts(reliable.lines.by_path,
                                     ignored=self._ignored)
             page_texts[page_path] = []
