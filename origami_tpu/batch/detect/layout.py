@@ -740,6 +740,7 @@ class SplitDetector:
         self._border = border
 
     def __call__(self, pixels, scale):
+        import scipy.fft
         import scipy.signal
         import scipy.ndimage
         if pixels.dtype == np.uint8:
@@ -750,7 +751,16 @@ class SplitDetector:
             pixels = pixels.astype(np.float32)
         if pixels.shape[0] < 4 or pixels.shape[1] < 4:
             return np.array([], dtype=int), dict(peak_heights=np.array([]))
-        freq, dens = scipy.signal.periodogram(pixels, axis=0)
+        # direct one-sided periodogram (== scipy.signal.periodogram
+        # with boxcar/density/constant-detrend, ~4x faster: no stft
+        # framing machinery for a single full-length frame)
+        n = pixels.shape[0]
+        xm = pixels - pixels.mean(axis=0, keepdims=True)
+        spec = scipy.fft.rfft(xm, axis=0)
+        dens = (np.abs(spec) ** 2) / n
+        dens[1:] *= 2.0
+        if n % 2 == 0:
+            dens[-1] /= 2.0
         prof = np.quantile(dens, self._quantile, axis=0)
         k = max(1, int(self._smooth * scale))
         prof = scipy.ndimage.uniform_filter1d(prof, k, mode="nearest")
