@@ -23,20 +23,29 @@ def _integral(img):
 
 
 def _window_sums(integral, window):
-    """Sum over a centered (window x window) box per pixel, with edge clamp."""
+    """Sum over a centered (window x window) box per pixel, with edge clamp.
+
+    The four clamped corner lookups are expressed as edge-replicated
+    pad + STATIC slices, not index-vector gathers: full-page 2D
+    gathers send the remote TPU compiler into minutes-long
+    autotuning (116 s cold for one page shape), while pad+slice
+    compiles in seconds and fuses.
+    """
     h = integral.shape[0] - 1
     w = integral.shape[1] - 1
     r = window // 2
+    # padded[i] == integral[clip(i - r, 0, h)] (rows; columns alike)
+    padded = jnp.pad(integral, ((r, r + 1), (r, r + 1)), mode="edge")
+    a = padded[0:h, 0:w]
+    b = padded[0:h, 2 * r + 1: 2 * r + 1 + w]
+    c = padded[2 * r + 1: 2 * r + 1 + h, 0:w]
+    d = padded[2 * r + 1: 2 * r + 1 + h, 2 * r + 1: 2 * r + 1 + w]
     ys = jnp.arange(h)
     xs = jnp.arange(w)
     y0 = jnp.clip(ys - r, 0, h)
     y1 = jnp.clip(ys + r + 1, 0, h)
     x0 = jnp.clip(xs - r, 0, w)
     x1 = jnp.clip(xs + r + 1, 0, w)
-    a = integral[y0][:, x0]
-    b = integral[y0][:, x1]
-    c = integral[y1][:, x0]
-    d = integral[y1][:, x1]
     counts = (y1 - y0)[:, None] * (x1 - x0)[None, :]
     return d - b - c + a, counts
 
