@@ -165,6 +165,54 @@ def identity_grid(page_w, page_h):
     return hv, res
 
 
+@functools.lru_cache(maxsize=1)
+def pallas_gather_supported():
+    """Probe whether this backend's Mosaic lowers dynamic gathers.
+
+    The Pallas grid-sample kernels (ops/pallas/remap.py) gather via
+    ``tpu.dynamic_gather``; some libtpu/Mosaic versions (e.g. the
+    v5e remote-compile toolchain measured 2026-08) reject the op
+    entirely, so the XLA gather formulation stays the default there.
+    One tiny compile decides per process (disk-cached thereafter).
+    """
+    import numpy as np
+    try:
+        from origami_tpu.ops.pallas.remap import extract_line_strips_pallas
+        frames = jnp.asarray(
+            np.array([[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]], np.float32))
+        out = extract_line_strips_pallas(
+            jnp.zeros((64, 256), jnp.float32), frames,
+            jnp.asarray([8], jnp.int32), 8, 128)
+        np.asarray(out)
+        return True
+    except Exception:
+        return False
+
+
+def remap_auto(image, map_xy, fill=0.0):
+    """Full-page remap through the Pallas kernel when the toolchain
+    supports it (VMEM-windowed; see ops/pallas/remap.py), else the XLA
+    gather path."""
+    if pallas_gather_supported():
+        from origami_tpu.ops.pallas.remap import remap_pallas
+        return remap_pallas(image, map_xy, fill)
+    return remap(image, map_xy, fill)
+
+
+def extract_line_strips_auto(image, frames, heights, out_h, out_w,
+                             fill=255.0):
+    """Batched strip warp via Pallas when supported (+ frame bounds
+    admissible), else XLA."""
+    if pallas_gather_supported():
+        from origami_tpu.ops.pallas.remap import (
+            extract_line_strips_pallas, strips_frames_ok)
+        import numpy as np
+        if strips_frames_ok(np.asarray(frames), out_h, out_w):
+            return extract_line_strips_pallas(
+                image, frames, heights, out_h, out_w, fill)
+    return extract_line_strips(image, frames, heights, out_h, out_w, fill)
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def extract_line_strips(image, frames, heights, out_h, out_w, fill=255.0):
     """Batched oriented line-strip extraction.
