@@ -121,13 +121,18 @@ class Page:
 
     @cached_property
     def binarized(self):
-        """Sauvola-binarized warped page (True = paper) as numpy."""
-        import jax.numpy as jnp
-        from origami_tpu.ops.binarize import sauvola
-        return np.asarray(sauvola(self.device_pixels, 15))
+        """Sauvola-binarized warped page (True = paper) as numpy.
+
+        Transferred bit-packed (8x fewer bytes over the tunnel)."""
+        from origami_tpu.ops.binarize import sauvola_packed
+        packed = np.asarray(sauvola_packed(self.device_pixels, 15))
+        return np.unpackbits(packed, axis=1)[
+            :, : self._pixels.shape[1]].astype(bool)
 
     @cached_property
     def dewarped_binarized(self):
         import jax.numpy as jnp
-        from origami_tpu.ops.binarize import sauvola
-        return np.asarray(sauvola(jnp.asarray(self.dewarped), 15))
+        from origami_tpu.ops.binarize import sauvola_packed
+        packed = np.asarray(sauvola_packed(jnp.asarray(self.dewarped), 15))
+        return np.unpackbits(packed, axis=1)[
+            :, : self.dewarped.shape[1]].astype(bool)

@@ -113,47 +113,104 @@ class ObstacleSampler:
                 self._direction[separators.label("separators/" + name)] = axis
             except KeyError:
                 pass
+        # flatten every scored separator polyline into ONE segment
+        # array: the sampler runs for each of the hundreds of cut
+        # candidates per page, and per-call STRtree queries + exact
+        # polygon clips dominated the order stage; an axis-aligned
+        # gap box clips all segments at once (Liang-Barsky below)
+        segs, axes, widths = [], [], []
+        for geom in separators.geoms:
+            name = separators.name(geom)
+            axis = self._direction.get(separators.label(name))
+            if axis is None:
+                continue
+            w = separators.width(name)
+            for ls in extract_segments(geom):
+                c = np.asarray(ls.np_coords, np.float64)
+                if len(c) < 2:
+                    continue
+                s = np.concatenate([c[:-1], c[1:]], axis=1)  # (m, 4)
+                segs.append(s)
+                axes.append(np.full(len(s), axis, np.int8))
+                widths.append(np.full(len(s), w, np.float64))
+        if segs:
+            self._segs = np.concatenate(segs)
+            self._axes = np.concatenate(axes)
+            self._widths = np.concatenate(widths)
+        else:
+            self._segs = np.zeros((0, 4))
+            self._axes = np.zeros(0, np.int8)
+            self._widths = np.zeros(0)
+
+    @staticmethod
+    def _union_len(lo, hi):
+        """Total covered length of the union of [lo, hi] intervals."""
+        if not len(lo):
+            return 0.0
+        o = np.argsort(lo, kind="stable")
+        lo = lo[o]
+        hi = np.maximum.accumulate(hi[o])
+        gaps = np.maximum(lo[1:] - hi[:-1], 0.0)
+        return float(hi[-1] - lo[0] - gaps.sum())
 
     def __call__(self, gap):
         if gap.du < 0.5 or gap.dv < 0.5:
             return 0.0
         pad = 5.0
         minx, miny, maxx, maxy = gap.bounds
-        bx = G.box(minx - pad, miny - pad, maxx + pad, maxy + pad)
+        x0, y0 = minx - pad, miny - pad
+        x1, y1 = maxx + pad, maxy + pad
 
-        flow = G.IntervalTree()
-        obst = G.IntervalTree()
-        flow_widths = []
-        flow_weights = []
+        flow_score = 0.0
+        obst_score = 0.0
+        flow_widths = None
+        if len(self._segs):
+            s = self._segs
+            # vectorized Liang-Barsky clip of every segment to the box
+            dx = s[:, 2] - s[:, 0]
+            dy = s[:, 3] - s[:, 1]
+            t0 = np.zeros(len(s))
+            t1 = np.ones(len(s))
+            ok = np.ones(len(s), bool)
+            for p, q in ((-dx, s[:, 0] - x0), (dx, x1 - s[:, 0]),
+                         (-dy, s[:, 1] - y0), (dy, y1 - s[:, 1])):
+                par = p == 0
+                ok &= ~(par & (q < 0))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    r = q / p
+                ent = ~par & (p < 0)
+                ext = ~par & (p > 0)
+                t0 = np.where(ent, np.maximum(t0, r), t0)
+                t1 = np.where(ext, np.minimum(t1, r), t1)
+            ok &= t0 <= t1
+            if ok.any():
+                ax = s[ok, 0] + t0[ok] * dx[ok]
+                ay = s[ok, 1] + t0[ok] * dy[ok]
+                bx_ = s[ok, 0] + t1[ok] * dx[ok]
+                by = s[ok, 1] + t1[ok] * dy[ok]
+                axes = self._axes[ok]
+                uv = np.stack([np.stack([ax, ay]), np.stack([bx_, by])])
+                # obstacle: separator runs along the gap's own axis
+                um = axes == gap.axis
+                u = gap.axis
+                obst_cov = self._union_len(
+                    np.minimum(uv[0, u, um], uv[1, u, um]),
+                    np.maximum(uv[0, u, um], uv[1, u, um]) + 1)
+                v = 1 - gap.axis
+                vm = ~um
+                vlo = np.minimum(uv[0, v, vm], uv[1, v, vm])
+                vhi = np.maximum(uv[0, v, vm], uv[1, v, vm]) + 1
+                flow_cov = self._union_len(vlo, vhi)
+                flow_score = flow_cov / gap.dv
+                obst_score = obst_cov / gap.du
+                if vm.any():
+                    flow_widths = (self._widths[ok][vm], vhi - vlo - 1)
 
-        for sep in self._seps.query(bx):
-            inter = sep.intersection(bx)
-            if inter.is_empty:
-                continue
-            label = self._seps.label(self._seps.name(sep))
-            sep_axis = self._direction.get(label)
-            if sep_axis is None:
-                continue
-            for seg in extract_segments(inter):
-                sminx, sminy, smaxx, smaxy = seg.bounds
-                smin = (sminx, sminy)
-                smax = (smaxx, smaxy)
-                if sep_axis == gap.axis:
-                    # runs across the gap: obstacle along the u axis
-                    u = gap.axis
-                    obst.add(smin[u], smax[u] + 1)
-                else:
-                    v = 1 - gap.axis
-                    flow.add(smin[v], smax[v] + 1)
-                    flow_widths.append(
-                        self._seps.width(self._seps.name(sep)))
-                    flow_weights.append(smax[v] - smin[v])
-
-        flow_score = flow.coverage(-np.inf, np.inf) / gap.dv
-        obst_score = obst.coverage(-np.inf, np.inf) / gap.du
-
-        if self._thickness_delta and flow_widths:
-            w = float(np.average(flow_widths, weights=flow_weights))
+        if self._thickness_delta and flow_widths is not None:
+            ws, weights = flow_widths
+            tot = weights.sum()
+            w = float((ws * weights).sum() / tot) if tot > 0 \
+                else float(ws.mean())
             dt = self._thickness_delta(w)
             obst_score -= dt
             flow_score += dt
