@@ -110,16 +110,24 @@ def bench_end_to_end(n_pages=6):
         for name, proc in _stages(rec_dir):
             proc.traverse(warm)
 
-        corpus = work / "corpus"
-        _make_corpus(corpus, n_pages, seed=92_000_000)
-        per_stage = {}
-        t_all = time.perf_counter()
-        for name, proc in _stages(rec_dir):
-            t0 = time.perf_counter()
-            proc.traverse(corpus)
-            per_stage[name] = round(time.perf_counter() - t0, 2)
-        total = time.perf_counter() - t_all
-        return n_pages / total, per_stage
+        # two timed passes over DISTINCT corpora: the first still hits
+        # jit shapes the 2-page warmup missed (compiles through the
+        # remote TPU compiler are seconds-to-minutes); the second is
+        # the steady state a long-running batch actually sustains and
+        # is the headline. Both are reported.
+        results = []
+        for i, seed in enumerate((92_000_000, 93_000_000)):
+            corpus = work / ("corpus%d" % i)
+            _make_corpus(corpus, n_pages, seed=seed)
+            per_stage = {}
+            t_all = time.perf_counter()
+            for name, proc in _stages(rec_dir):
+                t0 = time.perf_counter()
+                proc.traverse(corpus)
+                per_stage[name] = round(time.perf_counter() - t0, 2)
+            total = time.perf_counter() - t_all
+            results.append((n_pages / total, per_stage))
+        return results[1][0], results[1][1], results[0][0]
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -130,12 +138,13 @@ def main():
     # quality (measured IoU parity, COMPARE_r02.md) — the recommended
     # production configuration
     student_pps = bench_segmentation(n_models_per_net=1, batch=8)
-    e2e_pps, per_stage = bench_end_to_end()
+    e2e_pps, per_stage, first_pass_pps = bench_end_to_end()
     print(json.dumps(dict(
         metric="detect_chain_pages_per_sec_per_chip",
         value=round(e2e_pps, 3),
         unit="pages/s",
         vs_baseline=round(e2e_pps / 10.0, 3),
+        first_pass_pages_per_sec=round(first_pass_pps, 3),
         segment_quality_ensemble_pages_per_sec=round(seg_pps, 3),
         segment_student_pages_per_sec=round(student_pps, 3),
         stage_seconds=per_stage,

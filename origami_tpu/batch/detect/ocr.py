@@ -70,10 +70,14 @@ class RecognizerPredictor:
         self._batch_size = batch_size
         self._voting = len(models) > 1
         if self._voting:
-            self._params = jax.tree.map(
+            params = jax.tree.map(
                 lambda *xs: jnp.stack(xs), *[m[1] for m in models])
         else:
-            self._params = models[0][1]
+            params = models[0][1]
+        # pin weights on device once: host-resident params re-upload
+        # the full model (~17 MB, ~0.4 s through the tunnel) on EVERY
+        # recognizer dispatch
+        self._params = jax.device_put(params)
         self._ctc = ctc
         self._width_buckets = width_buckets
         self._decoder = decoder
@@ -118,10 +122,13 @@ class RecognizerPredictor:
         which downscales them)."""
         return self._decoder == "greedy" and wmax <= 2048
 
-    def predict_device(self, strips_dev, widths, n):
-        """Recognize a padded on-device strip batch (nb, H, W) uint8
-        with per-row pixel widths; returns (texts, confs) for the
-        first n rows. Only ids/lengths/conf transfer back.
+    def predict_device_deferred(self, strips_dev, widths, n):
+        """Dispatch recognition of a padded on-device strip batch
+        (nb, H, W) uint8 WITHOUT blocking; finalize_device() reads the
+        results. Deferring the materialization lets every group's
+        upload/gather/LSTM chain queue on the device while the host
+        prepares the next page (each blocking read costs a full
+        tunnel round trip).
 
         The LSTM graph compiles in MINUTES through the remote TPU
         compiler, so it must only ever see STATIC shapes: the batch is
@@ -141,11 +148,18 @@ class RecognizerPredictor:
                           constant_values=255)
         w = np.ones((chunks * B,), np.float32)
         w[: len(widths)] = widths
-        texts, confs = [], []
+        outs = []
         for c in range(chunks):
-            ids, lengths, conf = self._recognize_u8(
+            outs.append(self._recognize_u8(
                 self._params, dev[c * B: (c + 1) * B],
-                jnp.asarray(w[c * B: (c + 1) * B]))
+                jnp.asarray(w[c * B: (c + 1) * B])))
+        return outs, n, B
+
+    def finalize_device(self, deferred):
+        """(texts, confs) for a predict_device_deferred result."""
+        outs, n, B = deferred
+        texts, confs = [], []
+        for c, (ids, lengths, conf) in enumerate(outs):
             ids = np.asarray(ids)
             lengths = np.asarray(lengths)
             conf = np.asarray(conf)
@@ -154,6 +168,11 @@ class RecognizerPredictor:
                     ids[j], lengths[j], self._charset))
                 confs.append(float(conf[j]))
         return texts, confs
+
+    def predict_device(self, strips_dev, widths, n):
+        """Blocking wrapper: dispatch + finalize in one call."""
+        return self.finalize_device(
+            self.predict_device_deferred(strips_dev, widths, n))
 
     def predict(self, strips):
         """strips: [(path, uint8 (H, W))] -> (texts, confidences)."""
@@ -275,6 +294,7 @@ class OCRProcessor(BatchedProcessor):
         # groups where possible and the host strip path otherwise
         page_texts = {}
         host_strips = []          # [(page_path, path, strip)]
+        deferred = []             # [(page_path, paths, device result)]
         infos = {}
         for page_path, kwargs in pages:
             reliable = kwargs["reliable"]
@@ -291,13 +311,15 @@ class OCRProcessor(BatchedProcessor):
                 infos[page_path] = dict(n_lines=len(parts), dry=True)
                 continue
             device_ok = (extractor.binarizer is None
-                         and hasattr(predictor, "predict_device"))
+                         and hasattr(predictor, "predict_device_deferred"))
             for paths, dev, widths, wmax in \
                     extractor.device_groups(parts):
                 if device_ok and predictor.supports_device_strips(wmax):
-                    texts, _ = predictor.predict_device(
-                        dev, widths, len(paths))
-                    page_texts[page_path].extend(zip(paths, texts))
+                    # dispatch only — materialize after every page's
+                    # chains are queued, so the tunnel pipelines
+                    deferred.append((page_path, paths,
+                                     predictor.predict_device_deferred(
+                                         dev, widths, len(paths))))
                 else:
                     strips = np.asarray(dev)
                     for i, path in enumerate(paths):
@@ -307,6 +329,10 @@ class OCRProcessor(BatchedProcessor):
                         host_strips.append((page_path, path, strip))
         if dry:
             return infos
+
+        for page_path, paths, d in deferred:
+            texts, _ = predictor.finalize_device(d)
+            page_texts[page_path].extend(zip(paths, texts))
 
         if host_strips:
             texts, _ = predictor.predict(
