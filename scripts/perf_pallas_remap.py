@@ -30,9 +30,18 @@ def bench(fn, perturb, n=6):
 def main():
     import jax
     import jax.numpy as jnp
-    from origami_tpu.ops.remap import bilinear_sample, extract_line_strips
+    from origami_tpu.ops.remap import (bilinear_sample,
+                                       extract_line_strips,
+                                       pallas_gather_supported)
     from origami_tpu.ops.pallas.remap import (
         extract_line_strips_pallas, remap_pallas, strips_frames_ok)
+
+    if not pallas_gather_supported():
+        print("this backend's Mosaic does not lower tpu.dynamic_gather "
+              "— Pallas grid-sample kernels cannot run here (the XLA "
+              "gather path is the production default; see "
+              "docs/performance.md).")
+        return
 
     rng = np.random.default_rng(0)
     h, w = 2432, 1664
