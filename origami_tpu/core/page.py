@@ -102,9 +102,14 @@ class Page:
         return self._grid
 
     def size(self, dewarped=False):
-        # dewarping preserves the page shape (Dewarper samples the
-        # warped image onto a same-size canvas) — don't materialize a
-        # full-page device remap just for its dimensions
+        if dewarped and self._grid is not None:
+            # the dewarped canvas is the upsampled grid extent
+            # (hv rows/cols x resolution, dewarp._upsample_hv_planes)
+            # which is a few % larger than the warped page — derive it
+            # from the grid without materializing the remap
+            hv = self._grid._hv
+            res = self._grid.resolution
+            return (int(hv.shape[1] * res), int(hv.shape[0] * res))
         h, w = self._pixels.shape[:2]
         return (w, h)
 

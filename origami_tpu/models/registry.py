@@ -30,9 +30,19 @@ from .unet import create_unet, init_unet
 from .recognizer import create_recognizer, init_recognizer
 
 
+# Architecture generation tag for recognizer checkpoints. The round-2
+# MaskedGroupNorm + seq_lengths-BiLSTM change kept param names/shapes
+# identical to the original architecture, so old checkpoints would load
+# without error but decode differently — the tag makes them fail loudly
+# instead (ADVICE r2).
+RECOGNIZER_ARCH = "masked-gn+seq-lstm/2"
+
+
 def save_model(path, meta, params):
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
+    if meta.get("kind") == "recognizer":
+        meta = dict(meta, arch=meta.get("arch", RECOGNIZER_ARCH))
     with open(path / "meta.json", "w") as f:
         json.dump(meta, f, indent=2)
     params = jax.device_get(params)
@@ -75,6 +85,16 @@ def load_model(path):
     """Returns (module, params, meta)."""
     path = Path(path)
     meta = load_meta(path)
+    if meta.get("kind") == "recognizer":
+        arch = meta.get("arch")
+        if arch != RECOGNIZER_ARCH:
+            raise ValueError(
+                "recognizer checkpoint %s was saved for architecture "
+                "%r but this build is %r (masked GroupNorm stats + "
+                "seq_lengths LSTM sweeps change logits for identical "
+                "params) — retrain, or stamp meta.json \"arch\" if the "
+                "checkpoint is known to be post-change" %
+                (path, arch, RECOGNIZER_ARCH))
     model = _build(meta)
     template = _init_params(meta)
     with open(path / "params.msgpack", "rb") as f:

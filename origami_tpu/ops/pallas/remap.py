@@ -41,6 +41,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _fiota(shape, dim):
+    """float32 iota via int32 + cast: this toolchain's Mosaic rejects
+    `tpu.iota` with a float result type."""
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(
+        jnp.float32)
+
+
 def _lane_gather(arr, idx, mode):
     """arr (R, W) gathered along lanes at idx (R, C) -> (R, C)."""
     r, w = arr.shape
@@ -126,8 +133,8 @@ def _strips_kernel(frames_ref, img_hbm, out_ref, win, sem, *,
     src = win[:]
 
     # x-pass on the window rows, evaluated at the out_w output columns
-    vcol = jax.lax.broadcasted_iota(jnp.float32, (win_h, out_w), 0)
-    xrow = jax.lax.broadcasted_iota(jnp.float32, (win_h, out_w), 1)
+    vcol = _fiota((win_h, out_w), 0)
+    xrow = _fiota((win_h, out_w), 1)
     px = u1 * xrow + u2 * (vcol + oy.astype(jnp.float32)) + c2
     px = cl(px, lo_x, hi_x) - ox.astype(jnp.float32)
     x0 = jnp.floor(px)
@@ -138,8 +145,8 @@ def _strips_kernel(frames_ref, img_hbm, out_ref, win, sem, *,
     i2 = g0 * (1.0 - tx) + g1 * tx
 
     # y-pass
-    yout = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
-    xout = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
+    yout = _fiota((out_h, out_w), 0)
+    xout = _fiota((out_h, out_w), 1)
     qy = d * xout + e * yout + f
     qy = cl(qy, lo_y, hi_y) - oy.astype(jnp.float32)
     y0 = jnp.floor(qy)
@@ -325,10 +332,14 @@ def _remap_call(image, mx, my, fill, block_h, block_w, pad, band_k,
     n_by = -(-oh // block_h)
     n_bx = -(-ow // block_w)
     py, px_ = n_by * block_h - oh, n_bx * block_w - ow
-    mxp = jnp.pad(mxp, ((0, py), (0, px_)),
-                  constant_values=float(margin_x - 2))
-    myp = jnp.pad(myp, ((0, py), (0, px_)),
-                  constant_values=float(margin_y - 2))
+    # edge-replicate: a constant pad value near the image origin would
+    # drag an edge tile's min() (the DMA window origin) away from its
+    # real samples, which then fall outside the static VMEM window and
+    # read clamped garbage. Replicated coords keep every tile's
+    # min/max — and therefore _remap_stats' pad/band spans — identical
+    # to the unpadded map; the extra rows/cols are sliced off below.
+    mxp = jnp.pad(mxp, ((0, py), (0, px_)), mode="edge")
+    myp = jnp.pad(myp, ((0, py), (0, px_)), mode="edge")
 
     kernel = functools.partial(
         _remap_kernel, block_h=block_h, block_w=block_w,

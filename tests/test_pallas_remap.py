@@ -41,6 +41,29 @@ def test_remap_pallas_matches_xla_interior():
     np.testing.assert_allclose(out, ref, atol=0.05)
 
 
+def test_remap_pallas_non_multiple_output():
+    """Edge tiles (output not a multiple of block_h/block_w) must agree
+    with the XLA path — regression for the constant-pad window bug
+    (padding coords with a near-origin constant dragged edge tiles'
+    DMA window away from their real samples)."""
+    from origami_tpu.ops.remap import remap
+    from origami_tpu.ops.pallas.remap import remap_pallas
+
+    img = _page(320, 520, seed=11)
+    h, w = img.shape
+    oh, ow = 250, 500     # 250 % 64 != 0, 500 % 256 != 0
+    ys, xs = np.meshgrid(np.linspace(8, h - 9, oh),
+                         np.linspace(8, w - 9, ow), indexing="ij")
+    dx = 4.0 * np.sin(ys / 31.0)
+    dy = 3.0 * np.cos(xs / 47.0)
+    m = np.stack([xs + dx, ys + dy], axis=-1).astype(np.float32)
+
+    ref = np.asarray(remap(jnp.asarray(img), jnp.asarray(m)))
+    out = np.asarray(remap_pallas(img, m, interpret=True))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=0.05)
+
+
 def test_remap_pallas_tiled_gather_matches():
     from origami_tpu.ops.pallas.remap import remap_pallas
 
