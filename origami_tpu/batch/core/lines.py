@@ -163,6 +163,8 @@ class LineExtractor:
         from origami_tpu.ops.remap import (extract_dewarped_strips,
                                            identity_grid)
 
+        from origami_tpu.batch.core.prof import span
+
         by_page = collections.defaultdict(list)
         for path, line, column in parts:
             by_page[id(line.block.page)].append((path, line, column))
@@ -195,22 +197,25 @@ class LineExtractor:
                     width = min(width, self._max_width)
                 frames.append(frame)
                 widths.append(width)
-            if dewarp and page.grid is not None:
-                hv = page.grid.points("sample")
-                res = float(page.grid.resolution)
-            else:
-                hv, res = identity_grid(*page.size())
+            with span("lines.grid_points"):
+                if dewarp and page.grid is not None:
+                    hv = page.grid.points("sample")
+                    res = float(page.grid.resolution)
+                else:
+                    hv, res = identity_grid(*page.size())
             # sub-group by width bucket: one page-max width would run
             # every short line at the longest line's sequence length
             # (4x the LSTM time for a page with one full-width rule)
             buckets = collections.defaultdict(list)
+            cap = self.bucket_cap
             for i, wid in enumerate(widths):
                 b = 256
                 while b < wid:
                     b *= 2
-                buckets[min(b, 2048 if self._max_width else b)].append(i)
-            img_dev = jnp.asarray(np.asarray(page.warped))
-            hv_dev = jnp.asarray(hv)
+                buckets[min(b, cap) if cap else b].append(i)
+            with span("lines.page_upload"):
+                img_dev = jnp.asarray(np.asarray(page.warped))
+                hv_dev = jnp.asarray(hv)
             for wmax, idxs in sorted(buckets.items()):
                 nb = 32
                 while nb < len(idxs):
@@ -219,11 +224,23 @@ class LineExtractor:
                 fr[: len(idxs)] = np.stack([frames[i] for i in idxs])
                 wd = np.zeros(nb, np.int32)
                 wd[: len(idxs)] = [widths[i] for i in idxs]
-                strips = extract_dewarped_strips(
-                    img_dev, hv_dev, res, jnp.asarray(fr),
-                    jnp.asarray(wd), th, wmax)
+                with span("lines.extract_dispatch"):
+                    strips = extract_dewarped_strips(
+                        img_dev, hv_dev, res, jnp.asarray(fr),
+                        jnp.asarray(wd), th, wmax)
                 yield ([group[i][0] for i in idxs], strips,
                        wd[: len(idxs)].copy(), wmax)
+
+    @property
+    def bucket_cap(self):
+        """Power-of-two ceiling of max_width: the largest width bucket
+        device_groups will emit (None = unbounded)."""
+        if not self._max_width:
+            return None
+        cap = 256
+        while cap < self._max_width:
+            cap *= 2
+        return cap
 
     @property
     def binarizer(self):

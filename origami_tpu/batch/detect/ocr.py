@@ -20,6 +20,7 @@ import numpy as np
 from origami_tpu.batch.core.processor import BatchedProcessor, Processor
 from origami_tpu.batch.core.io import Artifact, Input, Output, Stage
 from origami_tpu.batch.core.lines import LineExtractor
+from origami_tpu.batch.core.prof import span
 from origami_tpu.batch.core.utils import RegionsFilter
 
 
@@ -116,38 +117,58 @@ class RecognizerPredictor:
 
         self._recognize_u8 = jax.jit(recognize_u8)
 
-    def supports_device_strips(self, wmax):
+    def supports_device_strips(self, wmax, bucket_cap=2048):
         """Device-resident groups need greedy decode and widths within
-        the largest compile bucket (wider lines take the host path,
-        which downscales them)."""
-        return self._decoder == "greedy" and wmax <= 2048
+        the extractor's largest compile bucket (wider lines take the
+        host path, which downscales them)."""
+        return (self._decoder == "greedy"
+                and bucket_cap is not None and wmax <= bucket_cap)
 
     def predict_device_deferred(self, strips_dev, widths, n):
-        """Dispatch recognition of a padded on-device strip batch
-        (nb, H, W) uint8 WITHOUT blocking; finalize_device() reads the
-        results. Deferring the materialization lets every group's
-        upload/gather/LSTM chain queue on the device while the host
-        prepares the next page (each blocking read costs a full
-        tunnel round trip).
+        """Dispatch recognition of one padded on-device strip batch
+        (nb, H, W) uint8 WITHOUT blocking (see
+        predict_device_deferred_multi)."""
+        return self.predict_device_deferred_multi(
+            [(strips_dev, np.asarray(widths)[:n])])
+
+    def predict_device_deferred_multi(self, parts):
+        """Dispatch recognition over several on-device strip groups of
+        the SAME width bucket — e.g. one group per page of a batch —
+        as one concatenated chunked batch, WITHOUT blocking;
+        finalize_device() reads the results (texts in part order).
+
+        Cross-group concatenation keeps the recognizer chunks full: a
+        page rarely fills a 128-line batch on its own, and a padded
+        chunk costs the full LSTM time regardless of how many rows are
+        real. Deferring the materialization lets every chain queue on
+        the device while the host prepares the next page.
 
         The LSTM graph compiles in MINUTES through the remote TPU
         compiler, so it must only ever see STATIC shapes: the batch is
         device-padded/sliced to (batch_size, H, bucket) chunks with
         bucket in the power-of-two width ladder — at most
         len(buckets) recognizer compiles for the process lifetime.
-        The pad/slice graphs around it are trivial data movement."""
+        The concat/pad/slice graphs around it are trivial data
+        movement.
+
+        parts: [(strips_dev (nb_i, H, W) uint8, widths (n_i,))].
+        """
         import jax.numpy as jnp
-        nb, th, w_in = strips_dev.shape
+        w_in = parts[0][0].shape[2]
         bucket = self._width_buckets([w_in])[0]
         B = self._batch_size
+        n = sum(len(w) for _, w in parts)
         chunks = -(-max(n, 1) // B)
-        dev = strips_dev
+        segs = [d[: len(wd)] for d, wd in parts]
+        dev = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=0)
+        nb = dev.shape[0]
         if w_in < bucket or nb < chunks * B:
             dev = jnp.pad(dev, ((0, max(chunks * B - nb, 0)),
                                 (0, 0), (0, bucket - w_in)),
                           constant_values=255)
         w = np.ones((chunks * B,), np.float32)
-        w[: len(widths)] = widths
+        w[:n] = np.concatenate([np.asarray(wd, np.float32)
+                                for _, wd in parts])
         outs = []
         for c in range(chunks):
             outs.append(self._recognize_u8(
@@ -294,16 +315,17 @@ class OCRProcessor(BatchedProcessor):
         # groups where possible and the host strip path otherwise
         page_texts = {}
         host_strips = []          # [(page_path, path, strip)]
-        deferred = []             # [(page_path, paths, device result)]
+        by_bucket = {}            # wmax -> [(page_path, paths, dev, widths)]
         infos = {}
         for page_path, kwargs in pages:
-            reliable = kwargs["reliable"]
-            extractor = LineExtractor(
-                reliable.tables, predictor.line_height, self._opt,
-                min_confidence=reliable.lines.min_confidence,
-                max_width=2048)
-            parts = extractor.parts(reliable.lines.by_path,
-                                    ignored=self._ignored)
+            with span("ocr.reliable_load"):
+                reliable = kwargs["reliable"]
+                extractor = LineExtractor(
+                    reliable.tables, predictor.line_height, self._opt,
+                    min_confidence=reliable.lines.min_confidence,
+                    max_width=2048)
+                parts = extractor.parts(reliable.lines.by_path,
+                                        ignored=self._ignored)
             page_texts[page_path] = []
             if dry:
                 for path, _, _ in parts:
@@ -314,38 +336,55 @@ class OCRProcessor(BatchedProcessor):
                          and hasattr(predictor, "predict_device_deferred"))
             for paths, dev, widths, wmax in \
                     extractor.device_groups(parts):
-                if device_ok and predictor.supports_device_strips(wmax):
-                    # dispatch only — materialize after every page's
-                    # chains are queued, so the tunnel pipelines
-                    deferred.append((page_path, paths,
-                                     predictor.predict_device_deferred(
-                                         dev, widths, len(paths))))
+                if device_ok and predictor.supports_device_strips(
+                        wmax, extractor.bucket_cap):
+                    # collect only — recognition is dispatched per
+                    # width bucket ACROSS the page batch below, so the
+                    # 128-line recognizer chunks run full instead of
+                    # one padded chunk per (page, bucket) group
+                    by_bucket.setdefault(wmax, []).append(
+                        (page_path, paths, dev, widths))
                 else:
-                    strips = np.asarray(dev)
-                    for i, path in enumerate(paths):
-                        strip = strips[i, :, : widths[i]]
-                        if extractor.binarizer is not None:
-                            strip = extractor.binarizer(strip)
-                        host_strips.append((page_path, path, strip))
+                    with span("ocr.host_strips"):
+                        strips = np.asarray(dev)
+                        for i, path in enumerate(paths):
+                            strip = strips[i, :, : widths[i]]
+                            if extractor.binarizer is not None:
+                                strip = extractor.binarizer(strip)
+                            host_strips.append((page_path, path, strip))
         if dry:
             return infos
 
-        for page_path, paths, d in deferred:
-            texts, _ = predictor.finalize_device(d)
-            page_texts[page_path].extend(zip(paths, texts))
+        deferred = []
+        with span("ocr.recognize_dispatch"):
+            for wmax in sorted(by_bucket):
+                groups = by_bucket[wmax]
+                d = predictor.predict_device_deferred_multi(
+                    [(dev, widths) for _, _, dev, widths in groups])
+                deferred.append((groups, d))
+        with span("ocr.finalize"):
+            for groups, d in deferred:
+                texts, _ = predictor.finalize_device(d)
+                i = 0
+                for page_path, paths, _, _ in groups:
+                    page_texts[page_path].extend(
+                        zip(paths, texts[i: i + len(paths)]))
+                    i += len(paths)
 
         if host_strips:
-            texts, _ = predictor.predict(
-                [(path, strip) for _, path, strip in host_strips])
-            for (page_path, path, _), text in zip(host_strips, texts):
-                page_texts[page_path].append((path, text))
+            with span("ocr.host_predict"):
+                texts, _ = predictor.predict(
+                    [(path, strip) for _, path, strip in host_strips])
+                for (page_path, path, _), text in zip(host_strips, texts):
+                    page_texts[page_path].append((path, text))
 
-        for page_path, kwargs in pages:
-            entries = page_texts[page_path]
-            with kwargs["output"].ocr() as zf:
-                for path, text in entries:
-                    zf.writestr("/".join(map(str, path)) + ".txt", text)
-            infos[page_path] = dict(n_lines=len(entries))
+        with span("ocr.write"):
+            for page_path, kwargs in pages:
+                entries = page_texts[page_path]
+                with kwargs["output"].ocr() as zf:
+                    for path, text in entries:
+                        zf.writestr("/".join(map(str, path)) + ".txt", text)
+                infos[page_path] = dict(n_lines=len(entries))
         return infos
 
 

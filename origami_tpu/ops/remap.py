@@ -94,6 +94,20 @@ def invert_affine(matrix):
     return jnp.concatenate([ai, ti[:, None]], axis=1)
 
 
+def _upsample_lattice(c, step, out_h, out_w):
+    """Bilinearly upsample a lattice `c` ((ch, cw), values at positions
+    (i*step, j*step)) to a dense (out_h, out_w) plane — pure reshapes
+    and lerps, no gather."""
+    w = jnp.arange(step, dtype=jnp.float32) / step
+    ch, cw = c.shape
+    r = (c[:-1, None, :] * (1.0 - w)[None, :, None]
+         + c[1:, None, :] * w[None, :, None])
+    r = r.reshape((ch - 1) * step, cw)[:out_h]
+    r = (r[:, :-1, None] * (1.0 - w)[None, None, :]
+         + r[:, 1:, None] * w[None, None, :])
+    return r.reshape(out_h, (cw - 1) * step)[:, :out_w]
+
+
 @functools.partial(jax.jit, static_argnums=(5, 6))
 def extract_dewarped_strips(image, hv, res, frames, widths, out_h, out_w,
                             fill=255.0):
@@ -110,9 +124,16 @@ def extract_dewarped_strips(image, hv, res, frames, widths, out_h, out_w,
     (reference: origami/core/block.py:223-259 line warps +
     origami/core/dewarp.py inverse transform) with ONE dispatch whose
     inputs are tiny (frames + the coarse grid).
+
+    The inverse-grid correction is evaluated on a coarse 8-px lattice
+    per strip and bilinearly upsampled (reshape+lerp, gather-free):
+    XLA's elementwise gather is the dominant device cost of this op
+    (~6 M samples/s on v5e through the tunnel), and evaluating the
+    smooth grid at every strip pixel tripled it. The grid itself is
+    piecewise-bilinear over ~25-px cells, so an 8-px lattice stays
+    sub-0.1-px accurate (exact for the identity grid).
     """
     img = image.astype(jnp.float32)
-    ys = jnp.arange(out_h, dtype=jnp.float32)
     xs = jnp.arange(out_w, dtype=jnp.float32)
     # keep the coordinate planes separate end to end: a stacked
     # (..., 2) intermediate is lane-padded 2 -> 128 on TPU (64x
@@ -120,13 +141,19 @@ def extract_dewarped_strips(image, hv, res, frames, widths, out_h, out_w,
     hvx = hv[..., 0]
     hvy = hv[..., 1]
 
+    step = 8
+    ch = out_h // step + 2
+    cw = out_w // step + 2
+    ys_c = jnp.arange(ch, dtype=jnp.float32) * step
+    xs_c = jnp.arange(cw, dtype=jnp.float32) * step
+
     def one(frame, width):
-        dx = frame[0, 0] * xs[None, :] + frame[0, 1] * ys[:, None] \
+        dx = frame[0, 0] * xs_c[None, :] + frame[0, 1] * ys_c[:, None] \
             + frame[0, 2]
-        dy = frame[1, 0] * xs[None, :] + frame[1, 1] * ys[:, None] \
+        dy = frame[1, 0] * xs_c[None, :] + frame[1, 1] * ys_c[:, None] \
             + frame[1, 2]
         # inverse dewarp: bilinear in the sample grid (matches
-        # Grid.inverse_points' clamp semantics)
+        # Grid.inverse_points' clamp semantics), on the coarse lattice
         gh, gw = hvx.shape
         gx = jnp.clip(dx / res, 0.0, gw - 1 - 1e-6)
         gy = jnp.clip(dy / res, 0.0, gh - 1 - 1e-6)
@@ -143,8 +170,8 @@ def extract_dewarped_strips(image, hv, res, frames, widths, out_h, out_w,
             return (g[y0, x0] * w00 + g[y0, x0 + 1] * w01
                     + g[y0 + 1, x0] * w10 + g[y0 + 1, x0 + 1] * w11)
 
-        cx = interp(hvx)
-        cy = interp(hvy)
+        cx = _upsample_lattice(interp(hvx), step, out_h, out_w)
+        cy = _upsample_lattice(interp(hvy), step, out_h, out_w)
         # pad columns -> far out of bounds -> fill
         pad = xs[None, :] >= width
         cx = jnp.where(pad, -1e6, cx)
@@ -166,36 +193,50 @@ def identity_grid(page_w, page_h):
 
 
 @functools.lru_cache(maxsize=1)
-def pallas_gather_supported():
-    """Probe whether this backend's Mosaic lowers dynamic gathers.
+def pallas_gather_mode():
+    """Probe which in-kernel gather formulation this backend's Mosaic
+    lowers; returns ``"direct"``, ``"tiled"`` or ``None``.
 
     The Pallas grid-sample kernels (ops/pallas/remap.py) gather via
-    ``tpu.dynamic_gather``; some libtpu/Mosaic versions (e.g. the
-    v5e remote-compile toolchain measured 2026-08) reject the op
-    entirely, so the XLA gather formulation stays the default there.
-    One tiny compile decides per process (disk-cached thereafter).
+    ``jnp.take_along_axis``, which needs ``tpu.dynamic_gather``; some
+    libtpu/Mosaic versions (e.g. the v5e remote-compile toolchain
+    measured 2026-08) reject that op, but DO lower the ``"tiled"``
+    variant (128-lane-windowed gathers + select merge) built for
+    exactly this case. Two tiny compiles decide per process (the
+    compiles are disk-cached thereafter); ``None`` keeps the XLA
+    gather formulation as the route.
     """
     import numpy as np
     try:
         from origami_tpu.ops.pallas.remap import extract_line_strips_pallas
-        frames = jnp.asarray(
-            np.array([[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]], np.float32))
-        out = extract_line_strips_pallas(
-            jnp.zeros((64, 256), jnp.float32), frames,
-            jnp.asarray([8], jnp.int32), 8, 128)
-        np.asarray(out)
-        return True
     except Exception:
-        return False
+        return None
+    frames = jnp.asarray(
+        np.array([[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]], np.float32))
+    for mode in ("direct", "tiled"):
+        try:
+            out = extract_line_strips_pallas(
+                jnp.zeros((64, 256), jnp.float32), frames,
+                jnp.asarray([8], jnp.int32), 8, 128, gather_mode=mode)
+            np.asarray(out)
+            return mode
+        except Exception:
+            continue
+    return None
+
+
+def pallas_gather_supported():
+    return pallas_gather_mode() is not None
 
 
 def remap_auto(image, map_xy, fill=0.0):
     """Full-page remap through the Pallas kernel when the toolchain
     supports it (VMEM-windowed; see ops/pallas/remap.py), else the XLA
     gather path."""
-    if pallas_gather_supported():
+    mode = pallas_gather_mode()
+    if mode is not None:
         from origami_tpu.ops.pallas.remap import remap_pallas
-        return remap_pallas(image, map_xy, fill)
+        return remap_pallas(image, map_xy, fill, gather_mode=mode)
     return remap(image, map_xy, fill)
 
 
@@ -203,13 +244,15 @@ def extract_line_strips_auto(image, frames, heights, out_h, out_w,
                              fill=255.0):
     """Batched strip warp via Pallas when supported (+ frame bounds
     admissible), else XLA."""
-    if pallas_gather_supported():
+    mode = pallas_gather_mode()
+    if mode is not None:
         from origami_tpu.ops.pallas.remap import (
             extract_line_strips_pallas, strips_frames_ok)
         import numpy as np
         if strips_frames_ok(np.asarray(frames), out_h, out_w):
             return extract_line_strips_pallas(
-                image, frames, heights, out_h, out_w, fill)
+                image, frames, heights, out_h, out_w, fill,
+                gather_mode=mode)
     return extract_line_strips(image, frames, heights, out_h, out_w, fill)
 
 

@@ -32,16 +32,25 @@ def main():
     import jax.numpy as jnp
     from origami_tpu.ops.remap import (bilinear_sample,
                                        extract_line_strips,
-                                       pallas_gather_supported)
+                                       pallas_gather_mode)
     from origami_tpu.ops.pallas.remap import (
-        extract_line_strips_pallas, remap_pallas, strips_frames_ok)
+        extract_line_strips_pallas as _strips_pallas,
+        remap_pallas as _remap_pallas, strips_frames_ok)
 
-    if not pallas_gather_supported():
-        print("this backend's Mosaic does not lower tpu.dynamic_gather "
-              "— Pallas grid-sample kernels cannot run here (the XLA "
-              "gather path is the production default; see "
-              "docs/performance.md).")
+    mode = pallas_gather_mode()
+    if mode is None:
+        print("this backend's Mosaic lowers neither the direct nor the "
+              "tiled in-kernel gather — Pallas grid-sample kernels "
+              "cannot run here (the XLA gather path is the production "
+              "default; see docs/performance.md).")
         return
+    print("gather_mode:", mode)
+
+    def remap_pallas(*a, **kw):
+        return _remap_pallas(*a, gather_mode=mode, **kw)
+
+    def extract_line_strips_pallas(*a, **kw):
+        return _strips_pallas(*a, gather_mode=mode, **kw)
 
     rng = np.random.default_rng(0)
     h, w = 2432, 1664
