@@ -242,24 +242,32 @@ class Processor:
             kwargs[arg] = f
         return kwargs
 
+    def _queue_add(self, queued, p):
+        if not p.exists():
+            return
+        if self._name_filter and not re.search(self._name_filter, str(p)):
+            return
+        if not is_image(p):
+            return
+        if not self.should_process(p):
+            return
+        kwargs = self.prepare_process(p)
+        if kwargs is not False:
+            queued.append((len(queued), p, kwargs))
+
     def _build_queue(self, path):
+        if isinstance(path, (list, tuple)):
+            queued = []
+            for p in path:
+                self._queue_add(queued, Path(p))
+            return queued
         path = Path(path)
         if not path.exists():
             raise FileNotFoundError(path)
         queued = []
 
         def add(p):
-            if not p.exists():
-                return
-            if self._name_filter and not re.search(self._name_filter, str(p)):
-                return
-            if not is_image(p):
-                return
-            if not self.should_process(p):
-                return
-            kwargs = self.prepare_process(p)
-            if kwargs is not False:
-                queued.append((len(queued), p, kwargs))
+            self._queue_add(queued, p)
 
         if path.is_dir():
             for folder, dirs, files in os.walk(path):
@@ -346,6 +354,8 @@ class Processor:
         return self.__class__, (self._options,)
 
     def _make_mutex(self, path):
+        if isinstance(path, (list, tuple)):
+            path = Path(path[0]).parent if path else Path(".")
         if self._lock_strategy == "DB":
             if self._lock_database:
                 db = Path(self._lock_database)
@@ -387,8 +397,9 @@ class Processor:
             profiler.enable()
             try:
                 import jax
-                trace_dir = str(Path(path).parent
-                                if not Path(path).is_dir() else path)
+                p0 = Path(path[0]) if isinstance(path, (list, tuple)) \
+                    else Path(path)
+                trace_dir = str(p0.parent if not p0.is_dir() else p0)
                 device_trace = jax.profiler.trace(
                     trace_dir + "/jax-trace")
                 device_trace.__enter__()
