@@ -53,7 +53,13 @@ class Geometry:
         return length * self._diameter
 
     def rel_area(self, area):
-        return area * self._diameter ** 2
+        # (a * diameter)^2, NOT a * diameter^2 — matches the reference
+        # (origami/core/math.py:90-91): region_area=0.0025 is meant to
+        # drop "a single word"-sized specks (~47 px^2 on a full page).
+        # The squared-diameter reading is 1/a = 400x larger and was
+        # silently deleting whole headline regions (8% of GT lines on
+        # the synth val set, scripts/diagnose_pipeline.py).
+        return (area * self._diameter) ** 2
 
 
 def resize_matrix(src_size, dst_size):

@@ -157,8 +157,16 @@ class Segmentation:
         with zipfile.ZipFile(f, "w", zipfile.ZIP_DEFLATED) as zf:
             for p in self.predictions:
                 with _io.BytesIO() as buf:
-                    p.colorized.save(buf, "png", optimize=True)
-                    zf.writestr("%s.png" % p.name, buf.getvalue())
+                    # fast zlib level: optimize=True costs ~0.38 s per
+                    # full-page label raster on the 1-core bench host
+                    # (24x the level-1 encode) to save ~17 KB — the
+                    # segment stage was spending more time encoding
+                    # PNGs than running the U-Net. PNGs are already
+                    # compressed, so store them uncompressed in the zip.
+                    p.colorized.save(buf, "png", optimize=False,
+                                     compress_level=1)
+                    zf.writestr("%s.png" % p.name, buf.getvalue(),
+                                zipfile.ZIP_STORED)
                 zf.writestr("%s.json" % p.name, json.dumps(dict(
                     type=p.type.name, name=p.name,
                     classes=p.classes.as_dict())))

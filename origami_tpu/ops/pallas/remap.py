@@ -49,10 +49,22 @@ def _fiota(shape, dim):
 
 
 def _lane_gather(arr, idx, mode):
-    """arr (R, W) gathered along lanes at idx (R, C) -> (R, C)."""
+    """arr (R, W) gathered along lanes at idx (R, C) -> (R, C).
+
+    This toolchain's Mosaic lowers ``take_along_axis`` only when the
+    index shape equals the operand shape (tpu.dynamic_gather's
+    same-shape form; jax gather lowering asserts
+    ``indices.shape == operand.shape + (1,)``), so the direct mode
+    pads idx/operand to a common width and slices the result."""
     r, w = arr.shape
+    idx = jnp.clip(idx, 0, w - 1)
+    c = idx.shape[1]
     if mode == "direct":
-        return jnp.take_along_axis(arr, jnp.clip(idx, 0, w - 1), axis=1)
+        if c < w:
+            idx = jnp.pad(idx, ((0, 0), (0, w - c)))
+        elif c > w:
+            arr = jnp.pad(arr, ((0, 0), (0, c - w)))
+        return jnp.take_along_axis(arr, idx, axis=1)[:, :c]
     out = jnp.zeros(idx.shape, arr.dtype)
     for t in range(0, w, 128):
         loc = idx - t
@@ -66,8 +78,14 @@ def _lane_gather(arr, idx, mode):
 def _sublane_gather(arr, idx, mode):
     """arr (H, C) gathered along sublanes at idx (R, C) -> (R, C)."""
     h, c = arr.shape
+    idx = jnp.clip(idx, 0, h - 1)
+    r = idx.shape[0]
     if mode == "direct":
-        return jnp.take_along_axis(arr, jnp.clip(idx, 0, h - 1), axis=0)
+        if r < h:
+            idx = jnp.pad(idx, ((0, h - r), (0, 0)))
+        elif r > h:
+            arr = jnp.pad(arr, ((0, r - h), (0, 0)))
+        return jnp.take_along_axis(arr, idx, axis=0)[:r]
     out = jnp.zeros(idx.shape, arr.dtype)
     for t in range(0, h, 8):
         loc = idx - t

@@ -86,11 +86,18 @@ def train_segmentation(corpus_dir, out_dir, kind, members=5, steps=600,
         idx = [i for i, n in enumerate(names) if n not in excluded]
         if not idx:
             idx = list(range(len(names)))
+        # hairline tolerance band for separators: background within
+        # 2 px of a GT separator is don't-care (weighted 0.15) so a
+        # 1-px-offset prediction isn't punished as both miss AND false
+        # alarm — thin-structure IoU suffers from exactly that
+        band = (classes.index("BACKGROUND"), 2, 0.15) \
+            if kind == "separator" else None
         cfg = TrainConfig(
             num_classes=len(classes), width=width, s2d=s2d,
             tile_hw=(h, w), steps=steps,
             warmup=max(10, min(100, steps // 10)),
-            learning_rate=learning_rate, class_weights=cw)
+            learning_rate=learning_rate, class_weights=cw,
+            band_dontcare=band)
         trainer = SegmentationTrainer(cfg, mesh=mesh, seed=seed + m)
         # the member's training rows live in device memory; each step
         # ships only indices (host-fed float batches measured 3.5 s/step
@@ -156,6 +163,67 @@ def eval_segmentation(models_path, val_dir, target="quality",
             for c in range(len(classes))}
         ious = [v for v in report[kind].values() if v is not None]
         report[kind]["_mean"] = float(np.mean(ious)) if ious else None
+    return report
+
+
+def eval_separator_tolerant(models_path, val_dir, target="quality",
+                            tol=3, batch=4, mesh=None):
+    """Functional separator quality: recall/precision at +-tol px.
+
+    Hairline-mask IoU punishes sub-pixel drift that the downstream
+    consumers (core/separate.py polyline extraction, layout column
+    splitting) cannot even observe; this measures what they consume:
+    a GT separator pixel counts as found if a predicted pixel of the
+    same class lies within `tol` px (dilated-prediction recall), and
+    vice versa for precision."""
+    import cv2
+    import PIL.Image
+    from origami_tpu.core.predict import SegmentationPredictor
+    from origami_tpu.train.segment.data import page_pairs
+
+    predictor = SegmentationPredictor(models_path, target=target,
+                                      mesh=mesh)
+    classes = KIND_CLASSES["separator"]
+    kernel = np.ones((2 * tol + 1, 2 * tol + 1), np.uint8)
+    hit_r = np.zeros(len(classes), np.int64)
+    tot_r = np.zeros(len(classes), np.int64)
+    hit_p = np.zeros(len(classes), np.int64)
+    tot_p = np.zeros(len(classes), np.int64)
+    pairs = list(page_pairs(val_dir, "separator"))
+    for start in range(0, len(pairs), batch):
+        chunk = pairs[start: start + batch]
+        pages = [np.asarray(PIL.Image.open(str(ip)).convert("L"))
+                 for ip, _ in chunk]
+        segs = predictor.predict_batch(pages)
+        for (ip, lp), seg in zip(chunk, segs):
+            lab = seg.by_name("separators").labels
+            gt = np.asarray(PIL.Image.open(str(lp)))
+            gt = cv2.resize(gt, (lab.shape[1], lab.shape[0]),
+                            interpolation=cv2.INTER_NEAREST)
+            for c, name in enumerate(classes):
+                if name == "BACKGROUND":
+                    continue
+                pm = (lab == c).astype(np.uint8)
+                gm = (gt == c).astype(np.uint8)
+                pd = cv2.dilate(pm, kernel)
+                gd = cv2.dilate(gm, kernel)
+                hit_r[c] += int((gm & pd).sum())
+                tot_r[c] += int(gm.sum())
+                hit_p[c] += int((pm & gd).sum())
+                tot_p[c] += int(pm.sum())
+    report = {}
+    f1s = []
+    for c, name in enumerate(classes):
+        if name == "BACKGROUND":
+            continue
+        r = float(hit_r[c] / tot_r[c]) if tot_r[c] else None
+        p = float(hit_p[c] / tot_p[c]) if tot_p[c] else None
+        f1 = (2 * r * p / (r + p)) if r and p else None
+        report[name] = dict(recall=r, precision=p, f1=f1)
+        if f1 is not None:
+            f1s.append(f1)
+    report["_mean_f1"] = float(np.mean(f1s)) if f1s else None
+    report["tol_px"] = tol
     return report
 
 

@@ -36,6 +36,10 @@ class TrainConfig:
     warmup: int = 500
     remat: bool = True
     class_weights: Any = None   # (num_classes,) loss weights, or None
+    # (background_idx, radius_px, factor): down-weight background
+    # pixels within radius of any foreground GT pixel — a tolerance
+    # band for hairline classes (separators). None = plain CE.
+    band_dontcare: Any = None
 
 
 def make_optimizer(cfg):
@@ -44,16 +48,33 @@ def make_optimizer(cfg):
     return optax.adamw(sched, weight_decay=cfg.weight_decay)
 
 
-def weighted_ce_loss(logits, labels, class_weights):
-    """Mean class-weighted cross entropy. labels (B, H, W) int."""
+def weighted_ce_loss(logits, labels, class_weights, band_dontcare=None):
+    """Mean class-weighted cross entropy. labels (B, H, W) int.
+
+    band_dontcare=(background_idx, radius, factor) softens background
+    pixels within `radius` of any foreground GT pixel by `factor`: a
+    hairline separator predicted 1-2 px off its GT run serves the
+    layout consumers (core/separate.py) as well as a perfect one, but
+    plain CE punishes the offset twice (miss + false alarm), teaching
+    the net to blur or drop thin structure. GT foreground keeps full
+    weight — only the surrounding background ring is don't-care."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     onehot = jax.nn.one_hot(labels, logits.shape[-1])
     per_px = -jnp.sum(onehot * logp, axis=-1)
     w = class_weights[labels]
+    if band_dontcare is not None:
+        bg, radius, factor = band_dontcare
+        fg = (labels != bg).astype(jnp.float32)[..., None]
+        k = 2 * int(radius) + 1
+        band = jax.lax.reduce_window(
+            fg, 0.0, jax.lax.max, (1, k, k, 1), (1, 1, 1, 1),
+            "SAME")[..., 0]
+        w = w * jnp.where((band > 0) & (labels == bg), factor, 1.0)
     return jnp.sum(per_px * w) / jnp.maximum(jnp.sum(w), 1e-6)
 
 
-def make_train_step(model, optimizer, class_weights, remat=True):
+def make_train_step(model, optimizer, class_weights, remat=True,
+                    band_dontcare=None):
     apply = model.apply
     if remat:
         apply = jax.checkpoint(apply)
@@ -61,7 +82,8 @@ def make_train_step(model, optimizer, class_weights, remat=True):
     def step(params, opt_state, images, labels):
         def loss_fn(p):
             logits = apply({"params": p}, images)
-            return weighted_ce_loss(logits, labels, class_weights)
+            return weighted_ce_loss(logits, labels, class_weights,
+                                    band_dontcare)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -71,7 +93,8 @@ def make_train_step(model, optimizer, class_weights, remat=True):
 
 
 def make_dataset_train_step(model, optimizer, class_weights,
-                            warp_amplitude=0.0, remat=True):
+                            warp_amplitude=0.0, remat=True,
+                            band_dontcare=None):
     """Train step over a DEVICE-RESIDENT uint8 corpus: the host sends
     only batch indices + an rng key per step; gather, warp augmentation
     and normalization all run on device. Feeding decoded float pages
@@ -97,7 +120,8 @@ def make_dataset_train_step(model, optimizer, class_weights,
 
         def loss_fn(p):
             logits = apply({"params": p}, x)
-            return weighted_ce_loss(logits, labs, class_weights)
+            return weighted_ce_loss(logits, labs, class_weights,
+                                    band_dontcare)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -128,7 +152,8 @@ class SegmentationTrainer:
         else:
             class_weights = jnp.ones((cfg.num_classes,), jnp.float32)
         step = make_train_step(self.model, self.optimizer, class_weights,
-                               remat=cfg.remat)
+                               remat=cfg.remat,
+                               band_dontcare=cfg.band_dontcare)
         # shardings are carried by the arguments themselves (params were
         # device_put with the tensor-parallel rules, batches with the
         # data sharding); jit + GSPMD propagates and inserts collectives
@@ -158,7 +183,8 @@ class SegmentationTrainer:
                 jax.device_put(np.asarray(labels_u8, np.uint8), rep))
         step = make_dataset_train_step(
             self.model, self.optimizer, cw,
-            warp_amplitude=warp_amplitude, remat=self.cfg.remat)
+            warp_amplitude=warp_amplitude, remat=self.cfg.remat,
+            band_dontcare=self.cfg.band_dontcare)
         self._data_step = jax.jit(step, donate_argnums=(0, 1))
         self._data_key = jax.random.PRNGKey(seed)
 

@@ -100,6 +100,12 @@ def main():
             work / "models", work / "val", target="speed")
         report["iou_student"] = bootstrap.eval_segmentation(
             work / "students", work / "val", target="speed")
+        report["sep_tolerant_ensemble"] = \
+            bootstrap.eval_separator_tolerant(
+                work / "models", work / "val", target="quality")
+        report["sep_tolerant_student"] = \
+            bootstrap.eval_separator_tolerant(
+                work / "students", work / "val", target="speed")
         report["ocr"] = bootstrap.eval_recognizer(
             work / "recognizer", n=300)
         report["eval_seconds"] = round(time.time() - t0, 1)

@@ -125,7 +125,7 @@ def fmt_iou(d):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", default="work/bootstrap")
-    ap.add_argument("--out", default="COMPARE_r02.md")
+    ap.add_argument("--out", default="COMPARE_r03.md")
     ap.add_argument("--pages", type=int, default=4)
     args = ap.parse_args()
     work = Path(args.work)
@@ -164,7 +164,7 @@ def main():
         if a.exists() and b.exists():
             seg_diffs.append(compare_segmentation(a, b))
 
-    lines = ["# COMPARE r2 — accuracy evidence (synthetic GT corpus)",
+    lines = ["# COMPARE — accuracy evidence (synthetic GT corpus)",
              "",
              "Corpus: %d train / %d val synthetic newspaper pages "
              "(train/synth.py; no real scans are obtainable in this "
@@ -190,6 +190,28 @@ def main():
                        ("distilled student", "iou_student")):
         for row in fmt_iou(report[key]):
             lines.append("| %s %s" % (label, row[1:]))
+    if "sep_tolerant_ensemble" in report:
+        lines += ["",
+                  "## Separator functional quality (recall/precision "
+                  "at ±%d px)" % report["sep_tolerant_ensemble"]
+                  .get("tol_px", 3),
+                  "",
+                  "| mode | class | recall | precision | f1 |",
+                  "|---|---|---|---|---|"]
+        for label, key in (("ensemble", "sep_tolerant_ensemble"),
+                           ("student", "sep_tolerant_student")):
+            rep = report.get(key) or {}
+            for cls in ("H", "V", "T"):
+                r = rep.get(cls)
+                if not r:
+                    continue
+                lines.append(
+                    "| %s | %s | %.3f | %.3f | %.3f |" % (
+                        label, cls, r["recall"] or 0, r["precision"] or 0,
+                        r["f1"] or 0))
+            if rep.get("_mean_f1") is not None:
+                lines.append("| %s | _mean_ |  |  | %.3f |"
+                             % (label, rep["_mean_f1"]))
     lines += ["",
               "## Recognizer CER (isolated lines, n=%d)" %
               report["ocr"]["n"],
@@ -219,6 +241,34 @@ def main():
                   "mask agreement (TEXT IoU trained vs heuristic "
                   "segment.zip): %.3f over %d pages" % (
                       mean_text, len(seg_diffs))]
+
+    # per-stage loss attribution on the student pipeline
+    try:
+        import diagnose_pipeline as diag
+        import collections
+        cats = collections.Counter()
+        corpus = work / "pipeline_student"
+        for img in sorted(corpus.glob("*.png")):
+            gt_path = work / "val" / (img.stem + ".gt.json")
+            if ".labels." in img.name or not gt_path.exists():
+                continue
+            if not (img.parent / (img.stem + ".out") /
+                    "ocr.zip").exists():
+                continue
+            for row in diag.diagnose_page(
+                    img, json.loads(gt_path.read_text())):
+                cats[row["cat"]] += 1
+        total = sum(cats.values())
+        if total:
+            lines += ["",
+                      "## Pipeline loss attribution (student chain)",
+                      "",
+                      "| category | lines | % |", "|---|---|---|"]
+            for cat, n in cats.most_common():
+                lines.append("| %s | %d | %.1f |"
+                             % (cat, n, 100.0 * n / total))
+    except Exception as e:          # diagnosis is best-effort
+        lines += ["", "(loss attribution unavailable: %s)" % e]
     lines += ["",
               "Reproduce: `python scripts/bootstrap_synth.py` then "
               "`python scripts/make_compare_report.py`.", ""]

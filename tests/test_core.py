@@ -13,7 +13,9 @@ def test_geometry_rel():
     g = Geometry(300, 400)
     assert g.diameter == pytest.approx(500.0)
     assert g.rel_length(0.01) == pytest.approx(5.0)
-    assert g.rel_area(0.01) == pytest.approx(2500.0)
+    # (a*d)^2 — reference semantics (origami/core/math.py:90-91);
+    # a*d^2 would be 400x larger at a=0.0025 and deletes headlines
+    assert g.rel_area(0.01) == pytest.approx(25.0)
 
 
 def test_divide_path():
@@ -328,3 +330,22 @@ def test_estimate_skew_sign_and_ties():
         big[40 + i * 50:60 + i * 50, 30:370] = \
             rng.random((20, 340)) < 0.75
     assert estimate_skew(big) == 0.0
+
+
+def test_headline_region_survives_area_filter():
+    """A single-line headline region (~400x40 label px) must survive
+    the contours stage's FilterByArea at the reference default
+    region_area=0.0025 — regression for the rel_area semantics bug
+    that silently dropped 8% of GT lines (headlines)."""
+    import numpy as np
+    from origami_tpu.core import contours as C
+    from origami_tpu.core.math import Geometry
+
+    mask = np.zeros((2432, 1250), bool)
+    mask[76:116, 423:826] = True        # the headline
+    mask[300:2300, 100:600] = True      # a big column (control)
+    g = Geometry(1250, 2432)
+    pipe = C.pipeline(C.Contours(), C.Decompose(),
+                      C.FilterByArea(g.rel_area(0.0025)))
+    polys = pipe(mask)
+    assert len(polys) == 2

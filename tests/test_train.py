@@ -277,3 +277,33 @@ def test_deskewing_regions():
         (master == hidx).astype(np.uint8), 8)
     heights = [stats[i, 3] for i in range(1, n) if stats[i, 4] > 50]
     assert heights and max(heights) <= 6
+
+
+def test_band_dontcare_loss():
+    """Background within the tolerance band of a GT hairline is
+    down-weighted: a prediction offset by 1 px must cost (much) less
+    than one offset beyond the band; GT-exact stays cheapest."""
+    import jax.numpy as jnp
+    from origami_tpu.train.segment.train import weighted_ce_loss
+
+    H = W = 16
+    labels = np.full((1, H, W), 3, np.int64)    # BACKGROUND=3
+    labels[0, :, 8] = 1                         # a vertical hairline (V)
+    cw = jnp.ones((4,), jnp.float32)
+
+    def logits_for(col):
+        lg = np.zeros((1, H, W, 4), np.float32)
+        lg[..., 3] = 4.0                        # confident background
+        lg[0, :, col, 3] = 0.0
+        lg[0, :, col, 1] = 4.0                  # hairline predicted at col
+        return jnp.asarray(lg)
+
+    band = (3, 2, 0.1)
+    l_exact = float(weighted_ce_loss(logits_for(8), labels, cw, band))
+    l_near = float(weighted_ce_loss(logits_for(9), labels, cw, band))
+    l_far = float(weighted_ce_loss(logits_for(13), labels, cw, band))
+    assert l_exact < l_near < l_far
+    # without the band, near and far offsets cost the same
+    l_near0 = float(weighted_ce_loss(logits_for(9), labels, cw))
+    l_far0 = float(weighted_ce_loss(logits_for(13), labels, cw))
+    assert abs(l_near0 - l_far0) < 1e-5
