@@ -37,6 +37,9 @@ CLIS = [
     ("origami_tpu.tool.harmonize", "harmonize"),
     ("origami_tpu.tool.annotate", "annotate"),
     ("origami_tpu.tool.annotate_web", "serve"),
+    ("origami_tpu.tool.pick_web", "serve"),
+    ("origami_tpu.tool.cluster_web", "serve"),
+    ("origami_tpu.tool.xycut_web", "serve"),
     ("origami_tpu.tool.pick", "pick"),
     ("origami_tpu.tool.sample", "sample_lines"),
     ("origami_tpu.tool.export", "export"),

@@ -428,3 +428,175 @@ def test_import_reference_model_meta(tmp_path):
     module, params, loaded = registry.load_model(out)
     assert loaded["type"] == "separator"
     assert loaded["tile_beta"] == 50
+
+
+def test_pick_web_ui(tmp_path, monkeypatch):
+    """Browser line-picking UI: lines listed with picked state from the
+    DB, click-toggle adds/removes rows (reference origami/tool/pick.py
+    workflow)."""
+    import http.client
+    import threading
+    from http.server import HTTPServer
+    import origami_tpu.tool.pick_web as pick_web
+    from origami_tpu.tool.lineload import AnnotationDB
+
+    db_path = tmp_path / "annotations.db"
+    AnnotationDB(db_path).add_line("page.png", "regions/TEXT/0/1")
+
+    shells = [("regions/TEXT/0/0",
+               np.array([[10., 10.], [200., 10.], [200., 40.],
+                         [10., 40.]])),
+              ("regions/TEXT/0/1",
+               np.array([[10., 60.], [200., 60.], [200., 90.],
+                         [10., 90.]]))]
+    monkeypatch.setattr(pick_web, "_page_lines",
+                        lambda page, stage: (shells, (800, 1200), None))
+    monkeypatch.setattr(pick_web, "_page_image",
+                        lambda page, stage:
+                        np.full((1200, 800), 230, np.uint8))
+
+    server = HTTPServer(
+        ("127.0.0.1", 0),
+        pick_web.make_handler(db_path, [Path("page.png")], "reliable"))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/")
+        assert b"pick" in conn.getresponse().read()
+        conn.request("GET", "/pages")
+        assert json.loads(conn.getresponse().read()) == ["page.png"]
+        conn.request("GET", "/lines?page=page.png")
+        d = json.loads(conn.getresponse().read())
+        assert d["size"] == [800, 1200]
+        state = {l["path"]: l["picked"] for l in d["lines"]}
+        assert state == {"regions/TEXT/0/0": False,
+                         "regions/TEXT/0/1": True}
+        assert d["lines"][0]["points"].startswith("10.0,10.0 200.0,10.0")
+        conn.request("GET", "/image?page=page.png")
+        assert conn.getresponse().read()[:2] == b"\xff\xd8"   # JPEG
+        body = json.dumps(dict(page="page.png",
+                               line="regions/TEXT/0/0", picked=True))
+        conn.request("POST", "/toggle", body=body,
+                     headers={"Content-Type": "application/json"})
+        assert json.loads(conn.getresponse().read())["picked"] is True
+        body = json.dumps(dict(page="page.png",
+                               line="regions/TEXT/0/1", picked=False))
+        conn.request("POST", "/toggle", body=body,
+                     headers={"Content-Type": "application/json"})
+        conn.getresponse().read()
+    finally:
+        server.shutdown()
+    rows = {r["line_path"]
+            for r in AnnotationDB(db_path).all_lines()}
+    assert rows == {"regions/TEXT/0/0"}
+
+
+def test_xycut_web_tree():
+    """The cut tree matches the production reading order and carries
+    drawable cut geometry (reference origami/tool/xycut.py stepper)."""
+    from origami_tpu.core.xycut import reading_order
+    from origami_tpu.tool.xycut_web import build_cut_tree
+
+    # two columns, the right one split in two vertically
+    named = [("left", (0., 0., 90., 200.)),
+             ("right_top", (110., 0., 200., 90.)),
+             ("right_bot", (110., 110., 200., 200.))]
+    tree = build_cut_tree(named)
+    assert tree["cut"] and tree["axis"] == 0 and 90 <= tree["x"] <= 110
+    assert tree["extent"] == [0.0, 200.0]
+    sides = {tuple(sorted(n["names"]))
+             for n in (tree["a_node"], tree["b_node"]) if not n["cut"]}
+    assert ("left",) in sides
+    sub = tree["a_node"] if tree["a_node"]["cut"] else tree["b_node"]
+    assert sub["axis"] == 1 and 90 <= sub["x"] <= 110
+    assert sub["a_node"]["names"] + sub["b_node"]["names"] == \
+        ["right_top", "right_bot"]
+    assert list(reading_order(named)) == \
+        ["left", "right_top", "right_bot"]
+
+
+def test_xycut_web_ui(tmp_path, monkeypatch):
+    import http.client
+    import threading
+    from http.server import HTTPServer
+    import origami_tpu.tool.xycut_web as xycut_web
+
+    monkeypatch.setattr(
+        xycut_web, "cut_tree",
+        lambda page, stage, fringe: dict(
+            tree=dict(cut=False, names=["a"]), boxes={"a": [0, 0, 5, 5]},
+            size=[10, 10], order=["a"]))
+    server = HTTPServer(
+        ("127.0.0.1", 0),
+        xycut_web.make_handler([Path("page.png")], "reliable", 0.005))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/")
+        assert b"xycut" in conn.getresponse().read()
+        conn.request("GET", "/tree?page=page.png")
+        d = json.loads(conn.getresponse().read())
+        assert d["order"] == ["a"] and d["boxes"]["a"] == [0, 0, 5, 5]
+    finally:
+        server.shutdown()
+
+
+def test_cluster_web_ui(tmp_path, monkeypatch):
+    """Cluster explorer: browse signature clusters as thumbnails
+    (reference origami/tool/cluster.py PySide2 explorer)."""
+    import http.client
+    import threading
+    from http.server import HTTPServer
+    import PIL.Image
+    import origami_tpu.tool.cluster_web as cluster_web
+
+    pages = []
+    for i in range(3):
+        p = tmp_path / ("p%d.png" % i)
+        PIL.Image.fromarray(
+            np.full((120, 80), 200 + i, np.uint8)).save(str(p))
+        pages.append(str(p))
+    groups = {0: pages[:2], 1: pages[2:]}
+    server = HTTPServer(("127.0.0.1", 0),
+                        cluster_web.make_handler(groups))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/")
+        assert b"clusters" in conn.getresponse().read()
+        conn.request("GET", "/clusters")
+        d = json.loads(conn.getresponse().read())
+        assert sorted(d.keys()) == ["0", "1"]
+        assert len(d["0"]) == 2
+        conn.request("GET", "/thumb?page=" +
+                     pages[0].replace("/", "%2F"))
+        assert conn.getresponse().read()[:2] == b"\xff\xd8"
+        conn.request("GET", "/thumb?page=%2Fetc%2Fpasswd")
+        assert conn.getresponse().status == 404
+    finally:
+        server.shutdown()
+
+
+def test_cluster_web_compute(tmp_path):
+    """compute_clusters groups processed pages by their signature
+    vectors through the CLI's k-means."""
+    import zipfile
+    import PIL.Image
+    from origami_tpu.tool.cluster_web import compute_clusters
+
+    for i, counts in enumerate(([4, 0, 4, 0], [4, 0, 4, 0],
+                                [0, 9, 0, 9])):
+        out = tmp_path / ("p%d.out" % i)
+        out.mkdir()
+        PIL.Image.fromarray(
+            np.full((60, 40), 220, np.uint8)).save(
+            str(tmp_path / ("p%d.png" % i)))
+        with zipfile.ZipFile(out / "signature.zip", "w") as zf:
+            zf.writestr("signature.json",
+                        json.dumps(dict(counts=dict(g=counts))))
+    groups = compute_clusters(tmp_path, 2)
+    sizes = sorted(len(v) for v in groups.values())
+    assert sizes == [1, 2]
