@@ -781,21 +781,37 @@ class SplitDetector:
 
 def split_polygon(polygon, line):
     """Split a polygon with a straight line into the pieces on each
-    side (replaces shapely.ops.split)."""
+    side (replaces shapely.ops.split).
+
+    The half-planes are sized to the polygon's own extent: huge
+    fixed-size half-planes (the old 1e6 factor on an UNNORMALIZED
+    direction) put vertices at ~1e9, where the float-eps logic of the
+    arrangement overlay breaks down and `intersection` can return the
+    half-plane itself (observed on the 1925 BBZ scan: a column split
+    emitted 1e12-area TEXT regions)."""
     c = line.np_coords
     p0, p1 = c[0], c[-1]
     d = p1 - p0
+    d = d / (np.linalg.norm(d) + 1e-12)
     n = np.array([-d[1], d[0]])
-    n = n / (np.linalg.norm(n) + 1e-12)
-    big = 1e6
-    half1 = G.Polygon([p0 - d * big, p1 + d * big,
-                       p1 + d * big + n * big, p0 - d * big + n * big])
-    half2 = G.Polygon([p0 - d * big, p1 + d * big,
-                       p1 + d * big - n * big, p0 - d * big - n * big])
+    minx, miny, maxx, maxy = polygon.bounds
+    big = 4.0 * (abs(maxx - minx) + abs(maxy - miny) + 1.0)
+    # recenter the half-planes on the polygon so the line segment's own
+    # position can't blow up the extent
+    mid = np.array([(minx + maxx) / 2.0, (miny + maxy) / 2.0])
+    t = float(np.dot(mid - p0, d))
+    q0 = p0 + d * (t - big)
+    q1 = p0 + d * (t + big)
+    half1 = G.Polygon([q0, q1, q1 + n * big, q0 + n * big])
+    half2 = G.Polygon([q0, q1, q1 - n * big, q0 - n * big])
     parts = []
     for h in (half1, half2):
         piece = polygon.intersection(h)
         if piece.is_empty:
+            continue
+        if piece.area > polygon.area * (1.0 + 1e-6):
+            # a boolean-robustness escape must never leak a piece
+            # larger than its input
             continue
         if piece.geom_type == "MultiPolygon":
             parts.extend(piece.geoms)

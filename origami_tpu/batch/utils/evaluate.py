@@ -78,6 +78,49 @@ def wer(gt, pred):
     return levenshtein(gw, pw) / len(gw)
 
 
+def match_baselines(gt_lines, detected, min_overlap=0.4):
+    """Match hand-authored GT baselines to detected baseline polylines.
+
+    ``gt_lines``: dicts with ``y`` (baseline row), ``x0``/``x1`` (ink
+    extent) and ``h`` (x-height band).  ``detected``: polylines as
+    (N, 2) x/y point arrays in the same (warped-page) pixel space.
+    A detected line is a candidate when the x-overlap covers at least
+    half of the SHORTER of the two spans (detected lines may be split
+    into short segments) and at least 25 px; the reported distance is
+    the vertical gap between the GT row and the polyline interpolated
+    at the overlap midpoint.  Returns ``[(gt, dist-or-None), ...]``
+    with the best (smallest-gap) candidate per GT line.
+
+    Mirrors the evaluation intent of the reference's baseline
+    accuracy checks (origami/batch/utils/evaluate.py) but against
+    in-repo JSON GT rather than PageXML.
+    """
+    dets = []
+    for pts in detected:
+        pts = np.asarray(pts, float)
+        if len(pts) < 2:
+            continue
+        o = np.argsort(pts[:, 0])
+        dets.append(pts[o])
+    out = []
+    for gt in gt_lines:
+        span = max(1.0, gt["x1"] - gt["x0"])
+        best = None
+        for pts in dets:
+            lo = max(gt["x0"], pts[0, 0])
+            hi = min(gt["x1"], pts[-1, 0])
+            need = max(25.0, min_overlap * min(span, pts[-1, 0] - pts[0, 0]))
+            if hi - lo < need:
+                continue
+            xm = 0.5 * (lo + hi)
+            yd = float(np.interp(xm, pts[:, 0], pts[:, 1]))
+            d = abs(yd - gt["y"])
+            if best is None or d < best:
+                best = d
+        out.append((gt, best))
+    return out
+
+
 def _page_xml_text(data):
     from lxml import etree
     root = etree.fromstring(data)
