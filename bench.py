@@ -77,6 +77,7 @@ def _find_trained_models():
     Returns (students_dir, recognizer_dir) or None."""
     root = os.environ.get("ORIGAMI_BENCH_MODELS")
     candidates = [Path(root)] if root else [
+        Path(__file__).parent / "work" / "bootstrap3",
         Path(__file__).parent / "work" / "bootstrap2",
         Path(__file__).parent / "work" / "bootstrap",
     ]
@@ -173,10 +174,17 @@ def bench_end_to_end(n_pages=6):
         # the overlapped pass runs a LONGER corpus: with only two
         # waves the prologue/epilogue (unoverlapped segment of wave 0,
         # ocr of the last wave) dominate; 3 waves of 4 amortize them
-        # and keep per-wave device batches big enough
+        # and keep per-wave device batches big enough. It REUSES the
+        # sequential corpora's page images (fresh copies, no .out):
+        # fresh pages would hit new jit shapes, and the remote-compile
+        # cost would be misread as overlap overhead (pass 0 vs pass 1
+        # shows that cost is ~40%).
         n_olap = 2 * n_pages
         corpus = work / "corpus2"
-        _make_corpus(corpus, n_olap, seed=94_000_000)
+        corpus.mkdir()
+        for i, src in enumerate(sorted((work / "corpus0").glob("*.png"))
+                                + sorted((work / "corpus1").glob("*.png"))):
+            shutil.copy(src, corpus / ("p%04d.png" % i))
         runner = PipelinedRunner(stages, wave_size=4)
         t0 = time.perf_counter()
         runner.run(corpus)

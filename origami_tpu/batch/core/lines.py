@@ -172,15 +172,20 @@ class LineExtractor:
             page = group[0][1].block.page
             frames, widths = [], []
             for lpath, line, column in group:
-                # preserve the glyph aspect ratio: the band (ascent +
-                # descent high) is scaled to th rows, so sample x at
-                # the same magnification (Calamari-style line
-                # normalization; a recognizer trained on aspect-true
-                # strips can't read vertically stretched ones)
-                band_h = float(np.linalg.norm(line._up))
+                # preserve the glyph aspect ratio: the PADDED band
+                # (core.block.BAND_PAD margins around the detected ink
+                # band — the recognizer's canonical framing) is scaled
+                # to th rows, so sample x at the same magnification
+                # (Calamari-style line normalization; a recognizer
+                # trained on aspect-true strips can't read vertically
+                # stretched or over-magnified ones)
+                from origami_tpu.core.block import BAND_PAD
+                pt, pb = BAND_PAD
+                band_h = float(np.linalg.norm(line._up)) * (1 + pt + pb)
                 xres = th / max(band_h, 1.0)
                 frame, width = line.dewarped_frame(th, xres=xres,
-                                                   column=column)
+                                                   column=column,
+                                                   pad=BAND_PAD)
                 if self._max_width and width > self._max_width:
                     # sample-time squeeze: very wide lines (full-width
                     # newspaper rules/tables) are extracted at reduced
@@ -193,7 +198,7 @@ class LineExtractor:
                         self._max_width, width)
                     frame, width = line.dewarped_frame(
                         th, xres=xres * self._max_width / width,
-                        column=column)
+                        column=column, pad=BAND_PAD)
                     width = min(width, self._max_width)
                 frames.append(frame)
                 widths.append(width)

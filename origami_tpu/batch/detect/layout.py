@@ -159,7 +159,12 @@ class RegionState:
         # bucket the sauvola window so jit graphs are reused across
         # pages with slightly different median line heights
         window = max(3, (int(m_lh) // 2 // 8 * 8 + 4) | 1)
-        gray = self.grayscale
+        # keep the dewarped page ON DEVICE: materializing it to host
+        # and re-uploading cost two full-page tunnel transfers per page
+        if self._grid is not None:
+            gray = self._page.dewarped_dev
+        else:
+            gray = self._page.device_pixels
         masks = [
             pred.labels != pred.classes["BACKGROUND"].value
             for pred in self._segmentation.predictions

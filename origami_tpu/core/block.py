@@ -86,6 +86,18 @@ class Block:
         return px[y0:y1, x0:x1], np.array([x0, y0])
 
 
+# Canonical recognizer framing: the detected band is the INK extent
+# (tallest ascender -> descender bottom). Mapping it straight onto the
+# strip puts glyphs at the extreme top of the recognizer's trained
+# size range (train.synth.render_line frames lines with margin above
+# the cap height and below the descenders) and clips i-dots/ascenders
+# whenever the band threshold runs tight — measured pipeline CER was
+# 0.09 from exactly this while isolated-line CER was 0.0. Padding the
+# band by these fractions of its height before the scale-to-height
+# puts serving strips dead-center of the training distribution.
+BAND_PAD = (0.28, 0.12)
+
+
 class Line:
     """A text line: rectangle frame (p + right + up), detailed polygon,
     confidence scores, and detection metadata."""
@@ -244,12 +256,21 @@ class Line:
         t1 = (x1 - bx0) / denom
         return p0 + right * t0, right * max(t1 - t0, 1e-6)
 
-    def dewarped_frame(self, target_height, xres=1.0, column=None):
+    def dewarped_frame(self, target_height, xres=1.0, column=None,
+                       pad=None):
         """((2, 3) affine, width): strip pixel (x, y, 1) -> dewarped
         page coords; the device twin of dewarped_grid_coords, consumed
-        by ops.remap.extract_dewarped_strips."""
+        by ops.remap.extract_dewarped_strips.
+
+        pad=(top_frac, bottom_frac) extends the sampled band beyond
+        the detected ink band by those fractions of its height (see
+        BAND_PAD)."""
         p0, right = self._column_extent(column)
         up = self._up
+        if pad:
+            pt, pb = pad
+            p0 = p0 - up * pb
+            up = up * (1.0 + pt + pb)
         width = max(2, int(math.ceil(np.linalg.norm(right) * xres)))
         dx = right / (width - 1)
         dy = -up / max(target_height - 1, 1)
@@ -258,12 +279,17 @@ class Line:
                           [dx[1], dy[1], origin[1]]], np.float32)
         return frame, width
 
-    def dewarped_grid_coords(self, target_height, xres=1.0, column=None):
+    def dewarped_grid_coords(self, target_height, xres=1.0, column=None,
+                             pad=None):
         """Dewarped-space sample grid (target_height, W, 2) for this line,
         to be pushed through the inverse dewarping grid then sampled from
         the warped page — one fused device op for all lines."""
         p0, right = self._column_extent(column)
         up = self._up
+        if pad:
+            pt, pb = pad
+            p0 = p0 - up * pb
+            up = up * (1.0 + pt + pb)
         width = max(2, int(math.ceil(np.linalg.norm(right) * xres)))
         xs = np.linspace(0.0, 1.0, width)
         ys = np.linspace(1.0, 0.0, target_height)   # top row = up
@@ -281,11 +307,13 @@ class Line:
         page = self._block.page
         if dewarped and page.grid is not None:
             # aspect-preserving: x sampled at the same magnification
-            # the band -> target_height scaling applies in y
-            band_h = float(np.linalg.norm(self._up))
+            # the (padded) band -> target_height scaling applies in y
+            pt, pb = BAND_PAD
+            band_h = float(np.linalg.norm(self._up)) * (1.0 + pt + pb)
             xres = target_height / max(band_h, 1.0)
             coords = self.dewarped_grid_coords(target_height,
-                                               xres=xres, column=column)
+                                               xres=xres, column=column,
+                                               pad=BAND_PAD)
             warped_coords = page.grid.inverse_points(
                 coords.reshape(-1, 2)).reshape(coords.shape)
             out = np.asarray(_remap.bilinear_sample(

@@ -411,17 +411,27 @@ class Dewarper:
     def grid(self):
         return self._grid
 
-    def _dewarp(self, image, scale):
+    def _dewarp_dev(self, image, scale):
         import jax.numpy as jnp
         dw = _jitted_dewarp_fns()[1]
-        out = dw(jnp.asarray(image), jnp.asarray(self._grid._hv),
-                 jnp.asarray(scale, dtype=jnp.float32),
-                 self._grid.resolution)
-        return np.asarray(out)
+        return dw(jnp.asarray(image), jnp.asarray(self._grid._hv),
+                  jnp.asarray(scale, dtype=jnp.float32),
+                  self._grid.resolution)
+
+    def _dewarp(self, image, scale):
+        return np.asarray(self._dewarp_dev(image, scale))
+
+    @cached_property
+    def dewarped_dev(self):
+        """Device-resident dewarped page (jax array, uint8): consumers
+        that keep computing on device (layout binarization, line
+        extraction) must not round-trip the full page through the
+        ~10-17 MB/s tunnel."""
+        return self._dewarp_dev(self._image, np.ones(2, np.float32))
 
     @cached_property
     def dewarped(self):
-        return self._dewarp(self._image, np.ones(2, np.float32))
+        return np.asarray(self.dewarped_dev)
 
     def dewarp_image(self, image, scale_to=None):
         image = np.asarray(image)

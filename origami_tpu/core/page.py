@@ -62,14 +62,13 @@ class Page:
     def warped(self):
         return self._pixels
 
-    @cached_property
-    def dewarped(self):
-        if self._grid is None:
-            return None
+    def _dewarped_slot(self):
         # process-wide LRU: every stage constructs its own Page, but
         # within one process (PagePipeline, BatchedProcessor runs) the
         # full-page remap is identical across stages — cache by file
-        # identity so layout/lines/ocr reuse dewarp's work
+        # identity so layout/lines/ocr reuse dewarp's work. The slot
+        # holds the DEVICE array (what on-device consumers need) and
+        # lazily materializes the host copy at most once.
         key = None
         if self._path is not None:
             try:
@@ -83,12 +82,29 @@ class Page:
             _DEWARPED_LRU.move_to_end(key)
             return _DEWARPED_LRU[key]
         from origami_tpu.core.dewarp import Dewarper
-        out = Dewarper(self._pixels, self._grid).dewarped
+        slot = {"dev": Dewarper(self._pixels, self._grid).dewarped_dev,
+                "host": None}
         if key is not None:
-            _DEWARPED_LRU[key] = out
+            _DEWARPED_LRU[key] = slot
             while len(_DEWARPED_LRU) > 12:
                 _DEWARPED_LRU.popitem(last=False)
-        return out
+        return slot
+
+    @property
+    def dewarped_dev(self):
+        """Dewarped page as a DEVICE array (no tunnel transfer)."""
+        if self._grid is None:
+            return None
+        return self._dewarped_slot()["dev"]
+
+    @cached_property
+    def dewarped(self):
+        if self._grid is None:
+            return None
+        slot = self._dewarped_slot()
+        if slot["host"] is None:
+            slot["host"] = np.asarray(slot["dev"])
+        return slot["host"]
 
     @property
     def dewarper(self):
@@ -136,8 +152,8 @@ class Page:
 
     @cached_property
     def dewarped_binarized(self):
-        import jax.numpy as jnp
         from origami_tpu.ops.binarize import sauvola_packed
-        packed = np.asarray(sauvola_packed(jnp.asarray(self.dewarped), 15))
+        dev = self.dewarped_dev
+        packed = np.asarray(sauvola_packed(dev, 15))
         return np.unpackbits(packed, axis=1)[
-            :, : self.dewarped.shape[1]].astype(bool)
+            :, : dev.shape[1]].astype(bool)

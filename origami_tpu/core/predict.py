@@ -53,11 +53,13 @@ class _EnsembleGraph:
         from origami_tpu.models.unet import ensemble_apply
 
         def run(params, images):
-            # images: (B, H, W) float32 raw grayscale [0..255]; pages run
-            # sequentially (lax.map) — each page's tile batch already
-            # fills the chip, and vmapping pages would multiply peak
-            # activation memory by B
+            # images: (B, H, W) raw grayscale [0..255]; transferred as
+            # uint8 (the tunnel moves ~10-17 MB/s — float32 pages cost
+            # 4x) and cast on device. Pages run sequentially (lax.map)
+            # — each page's tile batch already fills the chip, and
+            # vmapping pages would multiply peak activation memory by B
             def per_page(img):
+                img = img.astype(jnp.float32)
                 net_in = _resize(img, (full_h, full_w), "area") / 255.0
                 tiles = layout.extract(net_in[..., None])   # (T, th, tw, 1)
                 probs = ensemble_apply(model, params, tiles)
@@ -85,7 +87,14 @@ class _EnsembleGraph:
     def __call__(self, images):
         import jax
         import jax.numpy as jnp
-        images = np.asarray(images, np.float32)
+        if isinstance(images, jax.Array) and self._mesh is None:
+            # already device-resident (predict_batch uploads the page
+            # batch ONCE and shares it across the region + separator
+            # graphs instead of paying the tunnel transfer twice)
+            return np.asarray(self._run(self._params, images))
+        images = np.asarray(images)
+        if images.dtype != np.uint8:
+            images = images.astype(np.float32)
         pad = 0
         if self._mesh is not None:
             n = self._data_axis
@@ -116,9 +125,9 @@ def _pad_batch(pages):
     # bucket to multiples of 64 so page-size jitter shares compiles
     H = -(-H // 64) * 64
     W = -(-W // 64) * 64
-    out = np.full((len(pages), H, W), 255.0, dtype=np.float32)
+    out = np.full((len(pages), H, W), 255, dtype=np.uint8)
     for i, p in enumerate(pages):
-        out[i, : p.shape[0], : p.shape[1]] = p
+        out[i, : p.shape[0], : p.shape[1]] = np.asarray(p, np.uint8)
     return out, list(zip(hs, ws))
 
 
@@ -153,6 +162,10 @@ class SegmentationPredictor:
         """pages: list of (H, W) uint8 arrays -> list of Segmentation."""
         batch, sizes = _pad_batch(pages)
         _, H, W = batch.shape
+        if all(g._mesh is None for g in self._graphs):
+            # one uint8 upload shared by the region + separator graphs
+            import jax
+            batch = jax.device_put(batch)
         outs = []
         for g in self._graphs:
             outs.append(g(batch))

@@ -1,0 +1,107 @@
+"""Real-scan accuracy for TRAINED models (VERDICT r2 item 7 follow-on).
+
+Runs the full detect chain with the distilled student segmenters (and
+the TPU-trained recognizer for timing realism) over the two in-repo
+real newspaper scans, then scores detected baselines against the
+hand-authored GT (tests/data/*.gt.json) with the same matcher the test
+suite uses (batch.utils.evaluate.match_baselines). The heuristic
+numbers asserted by tests/test_real_scan.py are the floor; this script
+reports the trained-model operating point for COMPARE docs.
+
+    PYTHONPATH=/root/repo:/root/.axon_site \
+        python scripts/eval_real_scan.py --models work/bootstrap3
+"""
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import zipfile
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+DATA = Path(__file__).parent.parent / "tests" / "data"
+PAGES = [("p1872", "real_scan_1872.png", "real_scan_1872.gt.json"),
+         ("p1925", "real_scan_bbz_1925.png", "real_scan_bbz_1925.gt.json")]
+
+
+def run_chain(corpus, students, recognizer):
+    from origami_tpu.batch.detect.segment import SegmentationProcessor
+    from origami_tpu.batch.detect.contours import ContoursProcessor
+    from origami_tpu.batch.detect.flow import FlowDetectionProcessor
+    from origami_tpu.batch.detect.dewarp import DewarpProcessor
+    from origami_tpu.batch.detect.layout import LayoutDetectionProcessor
+    from origami_tpu.batch.detect.lines import LineDetectionProcessor
+    from origami_tpu.batch.detect.order import ReadingOrderProcessor
+    from origami_tpu.batch.detect.ocr import OCRProcessor
+
+    opts = dict(lock_strategy="NONE", plain=True)
+    for proc in [
+            SegmentationProcessor(str(students), dict(target="speed", **opts)),
+            ContoursProcessor(opts),
+            FlowDetectionProcessor(opts),
+            DewarpProcessor(opts),
+            LayoutDetectionProcessor(dict(layout="bbz", **opts)),
+            LineDetectionProcessor(opts),
+            ReadingOrderProcessor(opts),
+            OCRProcessor(dict(model=str(recognizer), **opts))]:
+        proc.traverse(corpus)
+
+
+def score(corpus, name, gt_file):
+    from origami_tpu.batch.utils.evaluate import match_baselines
+    gt = json.loads((DATA / gt_file).read_text())
+    out = corpus / (name + ".out")
+    dets = []
+    with zipfile.ZipFile(out / "lines.3.zip") as zf:
+        for n in zf.namelist():
+            if not n.endswith(".json") or n == "meta.json":
+                continue
+            d = json.loads(zf.read(n))
+            bl = (d.get("tesseract_data") or {}).get("baseline")
+            if bl and len(bl) >= 2:
+                p = np.asarray(bl, float)
+                dets.append(p[np.argsort(p[:, 0])])
+    res = match_baselines(gt["lines"], dets)
+    hs = np.array([g["h"] for g, _ in res], float)
+    tol = np.maximum(0.5 * hs, 4.0)
+    d = np.array([x if x is not None else np.inf for _, x in res])
+    true = d <= 2 * tol
+    return dict(
+        n_gt=len(res), n_detected_lines=len(dets),
+        recall=round(float(np.mean(d <= tol)), 3),
+        placement_px=(round(float(np.median(d[true])), 2)
+                      if true.any() else None),
+        line_height=float(np.median(hs)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="work/bootstrap3")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    models = Path(args.models)
+
+    work = Path(tempfile.mkdtemp(prefix="origami_realscan_"))
+    corpus = work / "corpus"
+    corpus.mkdir(parents=True)
+    for name, png, _ in PAGES:
+        shutil.copy(DATA / png, corpus / (name + ".png"))
+    try:
+        run_chain(corpus, models / "students", models / "recognizer")
+        report = {name: score(corpus, name, gt)
+                  for name, _, gt in PAGES}
+        text = json.dumps(report, indent=2)
+        print(text)
+        if args.out:
+            Path(args.out).write_text(text + "\n")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
