@@ -219,7 +219,7 @@ class LineExtractor:
                     b *= 2
                 buckets[min(b, cap) if cap else b].append(i)
             with span("lines.page_upload"):
-                img_dev = jnp.asarray(np.asarray(page.warped))
+                img_dev = page.device_pixels   # process-wide LRU upload
                 hv_dev = jnp.asarray(hv)
             for wmax, idxs in sorted(buckets.items()):
                 nb = 32

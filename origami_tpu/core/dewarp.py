@@ -403,8 +403,13 @@ class Dewarper:
     """Applies a grid to images: upsample + remap + u8 cast fused in
     one device dispatch (the map never round-trips to host)."""
 
-    def __init__(self, image, grid):
-        self._image = np.asarray(image)
+    def __init__(self, image, grid, shape=None):
+        # accepts a device array (preferred: the page uploads once per
+        # process via Page.device_pixels) or host pixels
+        self._image = image if hasattr(image, "devices") \
+            else np.asarray(image)
+        self._shape = tuple(shape) if shape is not None \
+            else tuple(self._image.shape)
         self._grid = grid
 
     @property
@@ -435,7 +440,7 @@ class Dewarper:
 
     def dewarp_image(self, image, scale_to=None):
         image = np.asarray(image)
-        h0, w0 = self._image.shape[:2]
+        h0, w0 = self._shape[:2]
         h1, w1 = image.shape[:2]
         scale = np.array([w1 / w0, h1 / h0], dtype=np.float32)
         return self._dewarp(image, scale)

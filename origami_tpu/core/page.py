@@ -39,6 +39,11 @@ def is_image(path):
 # (path, mtime) -> dewarped page pixels; see Page.dewarped
 _DEWARPED_LRU = collections.OrderedDict()
 
+# (path, mtime) -> device-resident warped pixels: every stage builds
+# its own Page, and re-uploading the full page through the ~10-17 MB/s
+# tunnel costs ~0.2 s per stage per page
+_DEVICE_PIXELS_LRU = collections.OrderedDict()
+
 
 class Page:
     def __init__(self, path=None, dewarping_grid=None, pixels=None):
@@ -82,7 +87,8 @@ class Page:
             _DEWARPED_LRU.move_to_end(key)
             return _DEWARPED_LRU[key]
         from origami_tpu.core.dewarp import Dewarper
-        slot = {"dev": Dewarper(self._pixels, self._grid).dewarped_dev,
+        slot = {"dev": Dewarper(self.device_pixels, self._grid,
+                                shape=self._pixels.shape).dewarped_dev,
                 "host": None}
         if key is not None:
             _DEWARPED_LRU[key] = slot
@@ -138,7 +144,22 @@ class Page:
     @cached_property
     def device_pixels(self):
         import jax.numpy as jnp
-        return jnp.asarray(self._pixels)
+        key = None
+        if self._path is not None:
+            try:
+                key = (str(self._path), self._path.stat().st_mtime,
+                       self._pixels.shape)
+            except OSError:
+                key = None
+        if key is not None and key in _DEVICE_PIXELS_LRU:
+            _DEVICE_PIXELS_LRU.move_to_end(key)
+            return _DEVICE_PIXELS_LRU[key]
+        dev = jnp.asarray(self._pixels)
+        if key is not None:
+            _DEVICE_PIXELS_LRU[key] = dev
+            while len(_DEVICE_PIXELS_LRU) > 12:
+                _DEVICE_PIXELS_LRU.popitem(last=False)
+        return dev
 
     @cached_property
     def binarized(self):

@@ -65,14 +65,27 @@ def _lane_gather(arr, idx, mode):
         elif c > w:
             arr = jnp.pad(arr, ((0, 0), (0, c - w)))
         return jnp.take_along_axis(arr, idx, axis=1)[:, :c]
-    out = jnp.zeros(idx.shape, arr.dtype)
-    for t in range(0, w, 128):
-        loc = idx - t
-        sel = (loc >= 0) & (loc < 128)
-        g = jnp.take_along_axis(arr[:, t:t + 128],
-                                jnp.clip(loc, 0, 127), axis=1)
-        out = jnp.where(sel, g, out)
-    return out
+    # Mosaic's dynamic_gather needs indices.shape == operand.shape AND
+    # a single vreg along the gather dimension: gather in (R, 128)
+    # chunks of BOTH the index and the source, accumulating over source
+    # tiles with a selection mask
+    chunks = []
+    for c0 in range(0, c, 128):
+        ic = idx[:, c0:c0 + 128]
+        cw = ic.shape[1]
+        if cw < 128:
+            ic = jnp.pad(ic, ((0, 0), (0, 128 - cw)))
+        o = jnp.zeros((r, 128), arr.dtype)
+        for t in range(0, w, 128):
+            tile = arr[:, t:t + 128]
+            if tile.shape[1] < 128:
+                tile = jnp.pad(tile, ((0, 0), (0, 128 - tile.shape[1])))
+            loc = ic - t
+            sel = (loc >= 0) & (loc < 128)
+            g = jnp.take_along_axis(tile, jnp.clip(loc, 0, 127), axis=1)
+            o = jnp.where(sel, g, o)
+        chunks.append(o[:, :cw] if cw < 128 else o)
+    return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=1)
 
 
 def _sublane_gather(arr, idx, mode):
@@ -273,17 +286,22 @@ def _remap_kernel(img_hbm, mx_ref, my_ref, out_ref, win, sem, *,
 
     dma.wait()
 
+    # Mosaic requires dynamic sublane offsets to be provably 8-aligned:
+    # align the band base down (8-row granularity) and widen the slab
+    # so the original rows stay covered
+    band_ext = band_k + 8
     for g in range(block_h // 8):
         rows = slice(g * 8, (g + 1) * 8)
         ry = rely[rows]
         x0g = x0i[rows]
         txg = tx[rows]
-        base = jnp.clip(jnp.floor(jnp.min(ry)).astype(jnp.int32),
-                        0, win_h - band_k)
-        slab = win[pl.ds(base, band_k), :]
+        base = _align_down(jnp.clip(
+            jnp.floor(jnp.min(ry)).astype(jnp.int32),
+            0, win_h - band_ext), 8)
+        slab = win[pl.ds(base, band_ext), :]
         acc = jnp.zeros((8, block_w), jnp.float32)
         basef = base.astype(jnp.float32)
-        for k in range(band_k):
+        for k in range(band_ext):
             row = jnp.broadcast_to(slab[k:k + 1, :], (8, win_w))
             g0 = _lane_gather(row, x0g, gather_mode)
             g1 = _lane_gather(row, x0g + 1, gather_mode)
@@ -335,14 +353,22 @@ def _remap_call(image, mx, my, fill, block_h, block_w, pad, band_k,
     h, w = img.shape
     oh, ow = mx.shape
     win_h = block_h + 2 * pad + 16
-    win_w = block_w + 2 * pad + 144
+    # DMA slice widths must be 128-lane aligned on hardware
+    win_w = -(-(block_w + 2 * pad + 144) // 128) * 128
     # fill margin: covers the pad, and keeps the padded image at least
     # one DMA window large (small pages)
     margin_y = max(pad + 8, -(-(win_h - h) // 2) + 8 if win_h > h else 0)
     margin_x = max(pad + 8, -(-(win_w - w) // 2) + 8 if win_w > w else 0)
-    img_p = jnp.pad(img, ((margin_y, margin_y), (margin_x, margin_x)),
+    # the padded image dims must themselves be aligned (8 sublanes /
+    # 128 lanes): the kernel clamps window origins to hp-win_h / wp-win_w
+    # and then aligns DOWN — with unaligned dims the clamped-at-the-edge
+    # case loses up to a full tile of coverage at the image's far side
+    extra_y = (-(h + 2 * margin_y)) % 8
+    extra_x = (-(w + 2 * margin_x)) % 128
+    img_p = jnp.pad(img, ((margin_y, margin_y + extra_y),
+                          (margin_x, margin_x + extra_x)),
                     constant_values=fill)
-    hp, wp = h + 2 * margin_y, w + 2 * margin_x
+    hp, wp = h + 2 * margin_y + extra_y, w + 2 * margin_x + extra_x
     # shift into padded coords; clamp OOB into the fill margin
     mxp = jnp.clip(mx + margin_x, margin_x - 2.0, w + margin_x + 1.0)
     myp = jnp.clip(my + margin_y, margin_y - 2.0, h + margin_y + 1.0)

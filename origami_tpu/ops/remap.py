@@ -213,13 +213,21 @@ def pallas_gather_mode():
         return None
     frames = jnp.asarray(
         np.array([[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]], np.float32))
+    # the probe image carries structure so the probe checks NUMERICS,
+    # not just lowering: on the 2026-08 v5e toolchain the tiled-mode
+    # kernel compiles and runs but the hardware dynamic_gather returns
+    # wrong values for ~16% of pixels (interpret mode is exact) — a
+    # lowering-only probe would auto-route a corrupting kernel
+    img = np.arange(64 * 256, dtype=np.float32).reshape(64, 256) % 251.0
+    want = img[:8, :128]
     for mode in ("direct", "tiled"):
         try:
             out = extract_line_strips_pallas(
-                jnp.zeros((64, 256), jnp.float32), frames,
+                jnp.asarray(img), frames,
                 jnp.asarray([8], jnp.int32), 8, 128, gather_mode=mode)
-            np.asarray(out)
-            return mode
+            got = np.asarray(out)[0]
+            if np.abs(got - want).max() <= 1e-3:
+                return mode
         except Exception:
             continue
     return None
