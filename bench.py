@@ -149,6 +149,14 @@ def bench_end_to_end(n_pages=6):
         _make_corpus(warm, 2, seed=91_000_000)
         for name, proc in stages:
             proc.traverse(warm)
+        # compile every recognizer width bucket up front: a 2-page
+        # warmup won't hit them all, and each (batch, bucket) LSTM
+        # shape costs minutes through the remote compiler — a timed
+        # pass that minted one was charged ~20 s of compile as "ocr"
+        ocr_proc = dict(stages)["ocr"]
+        pred = ocr_proc._get_predictor()
+        if hasattr(pred, "warm_buckets"):
+            pred.warm_buckets()
 
         # three timed passes over DISTINCT corpora: pass 0 still hits
         # jit shapes the 2-page warmup missed (compiles through the

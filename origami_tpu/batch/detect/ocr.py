@@ -117,6 +117,20 @@ class RecognizerPredictor:
 
         self._recognize_u8 = jax.jit(recognize_u8)
 
+    def warm_buckets(self, buckets=(256, 512, 1024, 2048)):
+        """Compile the recognizer graph for every width bucket up
+        front. Each (batch, bucket) LSTM shape compiles in minutes
+        through the remote TPU compiler (then disk-cached); without
+        this, the first page that hits a new bucket stalls mid-batch."""
+        import jax.numpy as jnp
+        for b in buckets:
+            strips = jnp.full((self._batch_size, self.line_height, b),
+                              255, jnp.uint8)
+            w = jnp.full((self._batch_size,), float(b), jnp.float32)
+            ids, lengths, conf = self._recognize_u8(self._params,
+                                                    strips, w)
+            np.asarray(lengths)
+
     def supports_device_strips(self, wmax, bucket_cap=2048):
         """Device-resident groups need greedy decode and widths within
         the extractor's largest compile bucket (wider lines take the
