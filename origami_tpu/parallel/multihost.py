@@ -65,6 +65,12 @@ def maybe_initialize(coordinator_address=None, num_processes=None,
             except (ValueError, RuntimeError) as e:
                 logging.debug("jax.distributed auto-init declined: %s",
                               e)
+    if not _initialized:
+        # no distributed launch was configured: answer without touching
+        # jax.process_count(), which forces full backend init (plugin
+        # attach) — a single-host CLI stage must not block on the TPU
+        # plugin (e.g. a dead tunnel) just to learn it isn't multi-host
+        return False
     try:
         return jax.process_count() > 1
     except RuntimeError:

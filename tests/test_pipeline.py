@@ -494,3 +494,39 @@ def test_page_pipeline_overlapped(synthetic_page, rng):
         assert a.text == b.text
         assert set(a.lines) == set(b.lines)
         assert a.order == b.order
+
+
+def test_gutter_is_clear():
+    """FixSpillOverH's gutter verifier: accept real column gutters,
+    reject aligned inter-word gaps and bridged whitespace (the
+    COMPARE_r03 bad_text tail: the periodogram found a 'gutter' at an
+    inter-word gap and split every line of the block in half)."""
+    from origami_tpu.batch.detect.layout import _gutter_is_clear
+    lh = 12
+    h, w = 120, 240
+    paper = np.ones((h, w), dtype=bool)  # True = paper
+
+    # two text columns with a wide clear gutter at x=120
+    two_col = paper.copy()
+    for y in range(6, h - 6, lh):
+        two_col[y:y + 8, 10:100] = False
+        two_col[y:y + 8, 140:230] = False
+    assert _gutter_is_clear(two_col, 120, lh)
+
+    # one text block with a narrow aligned inter-word gap at x=120
+    word_gap = paper.copy()
+    for y in range(6, h - 6, lh):
+        word_gap[y:y + 8, 10:113] = False
+        word_gap[y:y + 8, 127:230] = False
+    assert not _gutter_is_clear(word_gap, 120, lh)
+
+    # wide gutter but half the rows have ink running through it
+    bridged = two_col.copy()
+    rows = list(range(6, h - 6, lh))
+    for y in rows[::2]:
+        bridged[y:y + 8, 100:140] = False
+    assert not _gutter_is_clear(bridged, 120, lh)
+
+    # degenerate positions never split
+    assert not _gutter_is_clear(two_col, 0, lh)
+    assert not _gutter_is_clear(two_col, w - 1, lh)
