@@ -41,15 +41,50 @@ def _shell(g):
     return g.np_shell
 
 
+def _table_cells(key, bl, columns):
+    """Split a table row line into per-column cells exactly as the OCR
+    stage's LineRewriter does (origami_tpu/batch/core/lines.py:70-97):
+    cell key = pred/label/block.division.line.column/0, baseline
+    clipped to the column's x-range. Returns None for non-table lines
+    (no columns entry for the region)."""
+    parts = key.split("/")
+    cols = columns.get("/".join(parts[:3]))
+    if cols is None:
+        return None
+    pp = parts[2].split(".")
+    if len(pp) != 4:
+        return None
+    block, division = pp[0], pp[1]
+    ln = 1 + int(parts[3])
+    xs = bl[:, 0]
+    edges = [float(xs.min())] + list(map(float, cols)) + [float(xs.max())]
+    cells = []
+    for i, (x0, x1) in enumerate(zip(edges, edges[1:])):
+        lo, hi = max(x0, xs.min()), min(x1, xs.max())
+        if hi - lo < 1.0:
+            continue
+        y0 = float(np.interp(lo, bl[:, 0], bl[:, 1]))
+        y1 = float(np.interp(hi, bl[:, 0], bl[:, 1]))
+        cell_key = "%s/%s/%s.%s.%d.%d/0" % (
+            parts[0], parts[1], block, division, ln, i + 1)
+        cells.append((cell_key, np.array([[lo, y0], [hi, y1]])))
+    return cells
+
+
 def load_detected(out):
     """[(baseline_pagespace (N,2), height_dewarped, width_dewarped,
-    key, text_or_None)]"""
+    key, text_or_None)] — table row lines appear as their per-column
+    cells (the keys the OCR stage writes), not as the raw row."""
     from origami_tpu.core.dewarp import Grid
     grid = Grid.open(out / "dewarp.zip")
     texts = {}
     with zipfile.ZipFile(out / "ocr.zip") as zf:
         for n in zf.namelist():
             texts[n[:-4]] = zf.read(n).decode("utf-8")
+    columns = {}
+    tables_path = out / "tables.json"
+    if tables_path.exists():
+        columns = json.loads(tables_path.read_text()).get("columns", {})
     det = []
     with zipfile.ZipFile(out / "lines.3.zip") as zf:
         for n in zf.namelist():
@@ -66,10 +101,19 @@ def load_detected(out):
             shell = np.asarray(_shell(poly))
             xs = shell[:, 0]
             ys = shell[:, 1]
-            w_dw = float(xs.max() - xs.min())
             h_dw = float(ys.max() - ys.min())
-            det.append((grid.inverse_points(np.asarray(bl, float)),
-                        h_dw, w_dw, key, texts.get(key)))
+            bl_arr = np.asarray(bl, float)
+            cells = _table_cells(key, bl_arr, columns)
+            if cells is None:
+                w_dw = float(xs.max() - xs.min())
+                det.append((grid.inverse_points(bl_arr),
+                            h_dw, w_dw, key, texts.get(key)))
+            else:
+                for cell_key, cell_bl in cells:
+                    w_dw = float(cell_bl[1, 0] - cell_bl[0, 0])
+                    det.append((grid.inverse_points(cell_bl),
+                                h_dw, w_dw, cell_key,
+                                texts.get(cell_key)))
     return det, grid
 
 

@@ -54,10 +54,12 @@ def run_pipeline(corpus, segment_model, recognizer, target="quality"):
 
 def pipeline_cer(corpus, gt_dir):
     """Line-level CER: detected OCR lines matched to GT transcripts by
-    rewarped baseline proximity."""
-    import zipfile
+    rewarped baseline proximity. Table rows are matched as their
+    per-column cells (diagnose_pipeline.load_detected applies the OCR
+    stage's LineRewriter re-keying — without it every table cell reads
+    as a recall miss)."""
     from origami_tpu.batch.utils.evaluate import cer
-    from origami_tpu.core.dewarp import Grid
+    import diagnose_pipeline as diag
 
     cers = []
     n_gt = n_matched = 0
@@ -69,22 +71,9 @@ def pipeline_cer(corpus, gt_dir):
         out = img.parent / (img.stem + ".out")
         if not (out / "ocr.zip").exists():
             continue
-        grid = Grid.open(out / "dewarp.zip")
-        texts = {}
-        with zipfile.ZipFile(out / "ocr.zip") as zf:
-            for n in zf.namelist():
-                texts[n[:-4]] = zf.read(n).decode("utf-8")
-        det = []
-        with zipfile.ZipFile(out / "lines.3.zip") as zf:
-            for n in zf.namelist():
-                if not n.endswith(".json") or n.endswith("meta.json"):
-                    continue
-                d = json.loads(zf.read(n))
-                bl = (d.get("tesseract_data") or {}).get("baseline")
-                key = n[:-5]
-                if bl and key in texts:
-                    det.append((grid.inverse_points(
-                        np.asarray(bl, float)), texts[key]))
+        det_full, _ = diag.load_detected(out)
+        det = [(bl, text) for bl, _, _, _, text in det_full
+               if text is not None]
         heights = [l["bbox"][3] - l["bbox"][1] for l in gt["lines"]]
         tol = 0.75 * float(np.median(heights))
         for line in gt["lines"]:
