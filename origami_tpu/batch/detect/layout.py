@@ -153,8 +153,8 @@ class RegionState:
         round trips)."""
         import jax.numpy as jnp
         from origami_tpu.ops.binarize import (
+            binarize_sep_banded_packed, binarize_sep_resized_packed,
             binarize_with_separators_packed, sauvola_packed)
-        from origami_tpu.ops.remap import identity_grid
         m_lh = self.median_line_height
         # bucket the sauvola window so jit graphs are reused across
         # pages with slightly different median line heights
@@ -179,14 +179,29 @@ class RegionState:
                 h = min(sep.shape[0], m.shape[0])
                 w = min(sep.shape[1], m.shape[1])
                 sep = sep[:h, :w] | m[:h, :w]
-            if self._grid is not None:
-                hv = self._grid.points("sample")
-                res = float(self._grid.resolution)
+            # the label raster travels bit-packed and is unpacked,
+            # scaled and dewarped on device — all gather-free
+            sep_packed = jnp.asarray(np.packbits(sep, axis=1))
+            ww, wh = self._page.size(False)
+            plan = (self._grid.banded_plan((wh, ww))
+                    if self._grid is not None else None)
+            if plan is not None:
+                packed = binarize_sep_banded_packed(
+                    jnp.asarray(gray), window, sep_packed,
+                    jnp.asarray(plan["lat_my"]),
+                    jnp.asarray(plan["lat_mx"]), sep.shape[1],
+                    wh, ww, plan["step"], plan["d1"], plan["n1"],
+                    plan["d2"], plan["n2"])
+            elif self._grid is not None:
+                # non-monotone grid: gather fallback
+                packed = binarize_with_separators_packed(
+                    jnp.asarray(gray), window, jnp.asarray(sep),
+                    jnp.asarray(self._grid.points("sample")),
+                    float(self._grid.resolution), wh, ww)
             else:
-                hv, res = identity_grid(*self._page.size(False))
-            packed = binarize_with_separators_packed(
-                jnp.asarray(gray), window, jnp.asarray(sep),
-                jnp.asarray(hv), res)
+                packed = binarize_sep_resized_packed(
+                    jnp.asarray(gray), window, sep_packed,
+                    sep.shape[1])
         return np.unpackbits(
             np.asarray(packed), axis=1)[:, : gray.shape[1]].astype(bool)
 

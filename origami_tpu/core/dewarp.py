@@ -214,6 +214,91 @@ class Grid:
     def __init__(self, hv, res):
         self._hv = np.asarray(hv, dtype=np.float32)
         self._res = int(res)
+        self._banded_plans = {}
+
+    def banded_plan(self, src_shape, scale=(1.0, 1.0)):
+        """Host-side plan for the gather-free banded dewarp
+        (ops.remap.dewarp_banded): the two pass lattices plus static
+        displacement bands, bucketed so similar grids share a compile.
+
+        `src_shape` (H, W) is the source image (may live in a SCALED
+        coordinate space — e.g. a label raster — with `scale` =
+        (sx, sy) such that source coords = (sx * mx, sy * my)).
+
+        The pass-1 lattice is the Catmull–Smith intermediate map:
+        my'(i, x) = my at the output column where mx crosses source
+        column x (solved by 1-D interpolation per lattice row), which
+        makes the two-pass composition agree with the direct bilinear
+        sample for smooth monotone grids. Returns None when the grid
+        is not column-monotone (caller falls back to the gather path).
+        """
+        key = (tuple(src_shape), (float(scale[0]), float(scale[1])))
+        if key in self._banded_plans:
+            return self._banded_plans[key]
+        plan = self._build_banded_plan(src_shape, key[1])
+        self._banded_plans[key] = plan
+        return plan
+
+    def _build_banded_plan(self, src_shape, scale):
+        hv = self._hv.astype(np.float64)
+        res = self._res
+        gh, gw = hv.shape[:2]
+        src_h, src_w = int(src_shape[0]), int(src_shape[1])
+        sx, sy = scale
+        if sx <= 0 or sy <= 0:
+            return None
+        mxr = hv[..., 0]
+        # pass-1 inversion needs mx monotone along each lattice row
+        if not np.all(np.diff(mxr, axis=1) > 1e-3):
+            return None
+        # two-pass twist error is bounded by the grid's vertical shear
+        # (~shear/4 px; measured real-scan grids sit at |dmy/dx| <=
+        # 0.003, deskewed-by-grid pages ~0.04) — only a pathological
+        # grid falls back to the gather path
+        if np.abs(np.diff(hv[..., 1], axis=1)).max() / res > 0.25:
+            return None
+        out_h = gh * res
+        out_w = gw * res
+        # pass-1 lattice: my'(i, x) at source-column nodes every `res`
+        # px (one replicated pad row/col reproduces the nearest-clamp
+        # semantics of _upsample_hv_planes beyond the last node)
+        cw1 = int(np.ceil(src_w / res)) + 2
+        x_nodes = np.arange(cw1, dtype=np.float64) * res
+        lat_my = np.empty((gh + 1, cw1), np.float32)
+        for r in range(gh):
+            lat_my[r] = sy * np.interp(x_nodes / sx, mxr[r], hv[r, :, 1])
+        lat_my[gh] = lat_my[gh - 1]
+        # pass-2 lattice: mx on the output lattice
+        lat_mx = np.empty((gh + 1, gw + 1), np.float32)
+        lat_mx[:gh, :gw] = sx * mxr
+        lat_mx[:gh, gw] = lat_mx[:gh, gw - 1]
+        lat_mx[gh] = lat_mx[gh - 1]
+
+        # displacement bands: the upsampled planes are bilinear, and
+        # (plane - position) is bilinear too, so extremes sit at nodes
+        def band(lat, positions):
+            rel = lat.astype(np.float64) - positions
+            d_lo = int(np.floor(rel.min()))
+            d_hi = int(np.floor(rel.max())) + 1
+            # bucket to multiples of 4 to bound jit variants
+            d_lo = (d_lo // 4) * 4
+            n = -(-(d_hi - d_lo + 1) // 4) * 4
+            # a very wide band (e.g. scale far from 1 makes the
+            # displacement grow linearly across the page) loses to
+            # the gather path — bail out
+            if n > 768:
+                return None
+            return d_lo, n
+
+        rows1 = (np.arange(gh + 1, dtype=np.float64) * res)[:, None]
+        b1 = band(lat_my, rows1)
+        cols2 = (np.arange(gw + 1, dtype=np.float64) * res)[None, :]
+        b2 = band(lat_mx, cols2)
+        if b1 is None or b2 is None:
+            return None
+        return dict(lat_my=lat_my, lat_mx=lat_mx, step=res,
+                    d1=b1[0], n1=b1[1], d2=b2[0], n2=b2[1],
+                    out_h=out_h, out_w=out_w)
 
     @staticmethod
     def create(page_size, samples_h, samples_v, grid_res=25, **kwargs):
@@ -418,6 +503,17 @@ class Dewarper:
 
     def _dewarp_dev(self, image, scale):
         import jax.numpy as jnp
+        scale = np.asarray(scale, dtype=np.float32)
+        shape = tuple(image.shape[:2])
+        plan = self._grid.banded_plan(shape,
+                                      (float(scale[0]), float(scale[1])))
+        if plan is not None:
+            from origami_tpu.ops.remap import dewarp_banded_u8
+            return dewarp_banded_u8(
+                jnp.asarray(image), jnp.asarray(plan["lat_my"]),
+                jnp.asarray(plan["lat_mx"]), plan["step"],
+                plan["d1"], plan["n1"], plan["d2"], plan["n2"],
+                plan["out_h"], plan["out_w"])
         dw = _jitted_dewarp_fns()[1]
         return dw(jnp.asarray(image), jnp.asarray(self._grid._hv),
                   jnp.asarray(scale, dtype=jnp.float32),

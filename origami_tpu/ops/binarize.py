@@ -95,24 +95,30 @@ def otsu(image):
     return image.astype(jnp.float32) > t
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def binarize_with_separators(image, window_size, sep_mask, hv, res):
-    """Layout-stage page binarization fused into ONE dispatch.
+@functools.partial(jax.jit, static_argnums=(1, 5, 6))
+def binarize_with_separators(image, window_size, sep_mask, hv, res,
+                             warp_h=None, warp_w=None):
+    """Layout-stage page binarization fused into ONE dispatch
+    (gather formulation — the fallback when a grid has no banded plan;
+    the hot path is binarize_sep_banded_packed).
 
     Sauvola-binarize the dewarped page and whiten separator pixels so
     whitespace-split detection treats separator lines as gaps
     (reference origami/batch/detect/layout.py:158-186 does this as
     skimage sauvola + cv2.resize + cv2.remap + cv2.dilate on host).
 
-    `sep_mask` (lh, lw) bool lives in label space of the WARPED page;
-    each dewarped output pixel maps through the dewarp sample grid
-    `hv`/`res` (pass ops.remap.identity_grid for no dewarping) to
-    warped page coords, scaled into label space, and nearest-gathered;
-    the gathered mask is 3x3-dilated and OR'd into the binary page.
-    Returns (H, W) bool, True = paper/gap.
+    `sep_mask` (lh, lw) bool lives in label space of the WARPED page
+    ((warp_h, warp_w); defaults to the output shape for the identity-
+    grid case); each dewarped output pixel maps through the dewarp
+    sample grid `hv`/`res` (pass ops.remap.identity_grid for no
+    dewarping) to warped page coords, scaled into label space, and
+    nearest-gathered; the gathered mask is 3x3-dilated and OR'd into
+    the binary page. Returns (H, W) bool, True = paper/gap.
     """
     binary = sauvola(image, window_size)
     h, w = binary.shape
+    if warp_h is None:
+        warp_h, warp_w = h, w
     gh, gw = hv.shape[:2]
     lh, lw = sep_mask.shape
     ys = jnp.arange(h, dtype=jnp.float32) / res
@@ -137,8 +143,10 @@ def binarize_with_separators(image, window_size, sep_mask, hv, res):
     # scaled by (lw / w, lh / h) of the WARPED size == mask's own shape
     # over the warped page shape; the warped page has the same shape as
     # the dewarped output here (dewarp preserves size).
-    mi = jnp.clip(jnp.round(wy * (lh / h)).astype(jnp.int32), 0, lh - 1)
-    mj = jnp.clip(jnp.round(wx * (lw / w)).astype(jnp.int32), 0, lw - 1)
+    mi = jnp.clip(jnp.round(wy * (lh / warp_h)).astype(jnp.int32),
+                  0, lh - 1)
+    mj = jnp.clip(jnp.round(wx * (lw / warp_w)).astype(jnp.int32),
+                  0, lw - 1)
     sep = sep_mask.astype(jnp.float32)[mi, mj]
     sep = jax.lax.reduce_window(
         sep, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
@@ -158,13 +166,74 @@ def pack_bits(mask):
     return jnp.sum(m * weights, axis=-1, dtype=jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+@functools.partial(jax.jit, static_argnums=(1, 5, 6))
 def binarize_with_separators_packed(image, window_size, sep_mask, hv,
-                                    res):
+                                    res, warp_h=None, warp_w=None):
     """binarize_with_separators with the result bit-packed on device."""
     return pack_bits(
         binarize_with_separators.__wrapped__(image, window_size,
-                                             sep_mask, hv, res))
+                                             sep_mask, hv, res,
+                                             warp_h, warp_w))
+
+
+def unpack_bits(packed, out_w):
+    """Inverse of pack_bits: (H, PW) uint8 -> (H, out_w) bool."""
+    h, pw = packed.shape
+    shifts = jnp.asarray([7, 6, 5, 4, 3, 2, 1, 0], jnp.uint8)
+    bits = (packed[:, :, None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(h, pw * 8)[:, :out_w].astype(bool)
+
+
+@functools.partial(jax.jit,
+                   static_argnums=(1, 5, 6, 7, 8, 9, 10, 11, 12))
+def binarize_sep_banded_packed(image, window_size, sep_packed, lat_my,
+                               lat_mx, sep_w, warp_h, warp_w,
+                               step, d1, n1, d2, n2):
+    """Layout-stage binarization, all gather-free, bit-packed.
+
+    `image` is the DEWARPED gray page (H, W). `sep_packed` is the
+    separator label mask in warped-page LABEL space, host-bit-packed
+    (8x smaller through the ~10-17 MB/s tunnel; `sep_w` = its true
+    width). On device it is unpacked, conv-resized onto the warped
+    page ((warp_h, warp_w) — the label raster's own frame), then
+    mapped into dewarped space by the gather-free banded dewarp
+    (`lat_my`/`lat_mx`/bands from Grid.banded_plan at scale 1,
+    src_shape=(warp_h, warp_w)). Sauvola-binarize the page, 3x3-dilate
+    the dewarped mask, OR, pack.
+
+    Replaces binarize_with_separators_packed, whose full-page
+    elementwise gather ran at ~6 M samples/s on this chip AND scaled
+    warped coords by the dewarped canvas height (label rasters live
+    in warped-page space — separators whitened ~10% off position).
+    Reference behavior: origami/batch/detect/layout.py:158-186.
+    """
+    from origami_tpu.ops.remap import dewarp_banded
+    binary = sauvola.__wrapped__(image, window_size)
+    h, w = binary.shape
+    sep = unpack_bits(sep_packed, sep_w).astype(jnp.float32)
+    sep = jax.image.resize(sep, (warp_h, warp_w), method="linear")
+    sepd = dewarp_banded.__wrapped__(sep, lat_my, lat_mx, step,
+                                     d1, n1, d2, n2, h, w, 0.0)
+    sepd = jax.lax.reduce_window((sepd > 0.2).astype(jnp.float32),
+                                 -jnp.inf, jax.lax.max,
+                                 (3, 3), (1, 1), "SAME")
+    return pack_bits(binary | (sepd > 0.5))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3))
+def binarize_sep_resized_packed(image, window_size, sep_packed, sep_w):
+    """No-grid variant of binarize_sep_banded_packed: the separator
+    label mask is only SCALED (conv-based linear resize, gather-free)
+    onto the warped page, then dilated and OR'd into the sauvola
+    binarization; result bit-packed."""
+    binary = sauvola.__wrapped__(image, window_size)
+    h, w = binary.shape
+    sep = unpack_bits(sep_packed, sep_w).astype(jnp.float32)
+    sep = jax.image.resize(sep, (h, w), method="linear")
+    sep = jax.lax.reduce_window((sep > 0.2).astype(jnp.float32),
+                                -jnp.inf, jax.lax.max,
+                                (3, 3), (1, 1), "SAME")
+    return pack_bits(binary | (sep > 0.5))
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

@@ -182,6 +182,94 @@ def extract_dewarped_strips(image, hv, res, frames, widths, out_h, out_w,
     return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
 
+def _resample_rows_banded(img, my, d_lo, n_taps, fill):
+    """T[i, x] = linear interp of `img` at (row=my[i, x], col=x).
+
+    Gather-free: `my[i, x] - i` must lie in [d_lo, d_lo + n_taps - 1]
+    (the caller derives the band from the dewarp lattice, whose
+    bilinear extremes sit at the nodes). Each tap is one static-size
+    dynamic slice of the fill-padded image times a hat weight —
+    replacing XLA's elementwise gather, which this chip serves at only
+    ~6 M samples/s (0.45 s for one full page)."""
+    out_h, w = my.shape
+    h = img.shape[0]
+    pad_top = max(0, -d_lo)
+    pad_bot = max(0, out_h - 1 + d_lo + n_taps - 1 - (h - 1))
+    padded = jnp.pad(img, ((pad_top, pad_bot), (0, 0)),
+                     constant_values=fill)
+    rel = my - jnp.arange(out_h, dtype=jnp.float32)[:, None]
+    rel = jnp.clip(rel, d_lo, d_lo + n_taps - 1)
+
+    def body(acc, k):
+        d = d_lo + k
+        sh = jax.lax.dynamic_slice(padded, (d + pad_top, 0), (out_h, w))
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(rel - d.astype(jnp.float32)))
+        return acc + sh * wgt, None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((out_h, w), jnp.float32),
+                          jnp.arange(n_taps, dtype=jnp.int32))
+    return acc
+
+
+def _resample_cols_banded(img, mx, d_lo, n_taps, fill):
+    """out[i, j] = linear interp of `img` at (row=i, col=mx[i, j]);
+    the column twin of _resample_rows_banded."""
+    out_h, out_w = mx.shape
+    w = img.shape[1]
+    pad_l = max(0, -d_lo)
+    pad_r = max(0, out_w - 1 + d_lo + n_taps - 1 - (w - 1))
+    padded = jnp.pad(img, ((0, 0), (pad_l, pad_r)),
+                     constant_values=fill)
+    rel = mx - jnp.arange(out_w, dtype=jnp.float32)[None, :]
+    rel = jnp.clip(rel, d_lo, d_lo + n_taps - 1)
+
+    def body(acc, k):
+        d = d_lo + k
+        sh = jax.lax.dynamic_slice(padded, (0, d + pad_l), (out_h, out_w))
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(rel - d.astype(jnp.float32)))
+        return acc + sh * wgt, None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((out_h, out_w), jnp.float32),
+                          jnp.arange(n_taps, dtype=jnp.int32))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+def dewarp_banded(image, lat_my, lat_mx, step, d1, n1, d2, n2,
+                  out_h, out_w, fill=255.0):
+    """Full-page dewarp as two gather-free banded 1-D resamples.
+
+    Replaces remap()'s 4-point gather for the dewarp case (reference:
+    cv2.remap over the dense grid, origami/core/dewarp.py:608-627).
+    `lat_my` ((gh+1, cw1)) is the intermediate vertical map my'(i, x)
+    on a `step`-px lattice — my evaluated where the horizontal map
+    crosses source column x, so the two-pass composition equals the
+    direct bilinear sample for smooth grids (Catmull–Smith
+    decomposition; see Grid.banded_plan). `lat_mx` ((gh+1, gw+1)) is
+    the horizontal map on the output lattice. (d1, n1)/(d2, n2) are
+    the static displacement bands of each pass.
+
+    Pass 1 resamples rows at source columns -> T (out_h, W_src);
+    pass 2 resamples T's columns -> (out_h, out_w) float32.
+    """
+    img = image.astype(jnp.float32)
+    my = _upsample_lattice(lat_my, step, out_h, img.shape[1])
+    t = _resample_rows_banded(img, my, d1, n1, fill)
+    mx = _upsample_lattice(lat_mx, step, out_h, out_w)
+    return _resample_cols_banded(t, mx, d2, n2, fill)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+def dewarp_banded_u8(image, lat_my, lat_mx, step, d1, n1, d2, n2,
+                     out_h, out_w, fill=255.0):
+    """dewarp_banded + clip/cast to uint8 fused in the same graph."""
+    out = dewarp_banded.__wrapped__(image, lat_my, lat_mx, step,
+                                    d1, n1, d2, n2, out_h, out_w, fill)
+    # round before the cast: the hat-weight sum leaves exact values a
+    # few ulp short (92 * 0.999999 floors to 91 under a plain cast)
+    return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+
+
 def identity_grid(page_w, page_h):
     """A 2x2 dewarp sample grid whose inverse transform is the
     identity (bilinear interpolation of a linear map is exact)."""

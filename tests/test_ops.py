@@ -155,3 +155,115 @@ def test_tile_extract_stitch():
     labels = jax.vmap(lambda t: t[..., 0])(tiles)
     out = np.asarray(lay.stitch_labels(labels))
     np.testing.assert_allclose(out, img[..., 0], atol=1e-6)
+
+
+def _smooth_test_image(h, w, seed=3):
+    """Natural-ish smooth image (noise images amplify the sub-0.1-px
+    two-pass twist of the banded dewarp into large value diffs)."""
+    rng = np.random.default_rng(seed)
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = (128 + 90 * np.sin(xs / 17.0) * np.cos(ys / 23.0)
+           + 30 * np.sin((xs + ys) / 41.0))
+    return np.clip(img + rng.normal(0, 2, (h, w)), 0, 255).astype(np.uint8)
+
+
+def _dewarp_test_grid(res=25, gh=24, gw=16, warp=3.0):
+    base_y, base_x = np.meshgrid(np.arange(gh) * res, np.arange(gw) * res,
+                                 indexing="ij")
+    hv = np.stack([base_x - 50 + warp * np.sin(base_y / 600.0),
+                   base_y - 50 + warp * np.cos(base_x / 700.0)],
+                  axis=-1).astype(np.float32)
+    return hv, res
+
+
+def test_dewarp_banded_matches_gather():
+    from origami_tpu.core.dewarp import Grid, Dewarper, _jitted_dewarp_fns
+    hv, res = _dewarp_test_grid()
+    g = Grid(hv, res)
+    img = _smooth_test_image(520, 370)
+    plan = g.banded_plan(img.shape)
+    assert plan is not None
+    banded = np.asarray(Dewarper(jnp.asarray(img), g).dewarped_dev)
+    dw = _jitted_dewarp_fns()[1]
+    ref = np.asarray(dw(jnp.asarray(img), jnp.asarray(hv),
+                        jnp.ones(2, np.float32), res))
+    assert banded.shape == ref.shape == (24 * 25, 16 * 25)
+    diff = np.abs(banded.astype(int) - ref.astype(int))
+    # interior agreement (boundary blend semantics differ: banded
+    # fill-blends the padded edge, gather hard-fills past it)
+    interior = ref < 250
+    assert diff[interior].max() <= 2
+    assert (diff > 2).mean() < 0.02
+
+
+def test_dewarp_banded_translation_exact():
+    from origami_tpu.core.dewarp import Grid, Dewarper
+    hv, res = _dewarp_test_grid(warp=0.0)
+    g = Grid(hv, res)
+    # keep the image inside the last lattice node (the grid itself
+    # edge-clamps beyond (gw-1)*res, in both the banded and gather
+    # formulations)
+    img = _smooth_test_image(500, 300, seed=4)
+    out = np.asarray(Dewarper(jnp.asarray(img), g).dewarped_dev)
+    # pure translation by +50: out[y, x] == img[y - 50, x - 50]
+    np.testing.assert_array_equal(out[50:50 + 500, 50:50 + 300], img)
+    assert (out[:49] == 255).all()
+
+
+def test_dewarp_banded_falls_back_on_pathological_grid():
+    from origami_tpu.core.dewarp import Grid
+    hv, res = _dewarp_test_grid()
+    hv2 = hv.copy()
+    hv2[..., 0] = hv2[::, ::-1, 0]  # non-monotone mx
+    assert Grid(hv2, res).banded_plan((520, 370)) is None
+
+
+def test_unpack_bits_roundtrip():
+    rng = np.random.default_rng(1)
+    m = rng.random((37, 101)) > 0.5
+    packed = jnp.asarray(np.packbits(m, axis=1))
+    out = np.asarray(binarize.unpack_bits(packed, 101))
+    np.testing.assert_array_equal(out, m)
+
+
+def test_binarize_sep_banded_whitens_at_true_position():
+    """The separator label raster lives in WARPED-page label space;
+    whitening must land at the label's dewarped position (the old
+    gather op scaled by the dewarped canvas size — ~10% off)."""
+    from origami_tpu.core.dewarp import Grid
+    hv, res = _dewarp_test_grid(warp=0.0)   # translate +50
+    g = Grid(hv, res)
+    wh, ww = 520, 370
+    rng = np.random.default_rng(2)
+    gray = rng.integers(0, 255, (600, 400)).astype(np.uint8)
+    lh, lw = 650, 463                        # label raster at 1.25x
+    sep = np.zeros((lh, lw), bool)
+    wy = 100                                 # separator at warped y=100
+    ly = int(round(wy * lh / wh))
+    sep[ly - 1:ly + 2, :] = True
+    plan = g.banded_plan((wh, ww))
+    packed = binarize.binarize_sep_banded_packed(
+        jnp.asarray(gray), 15, jnp.asarray(np.packbits(sep, axis=1)),
+        jnp.asarray(plan["lat_my"]), jnp.asarray(plan["lat_mx"]),
+        sep.shape[1], wh, ww, plan["step"], plan["d1"], plan["n1"],
+        plan["d2"], plan["n2"])
+    binary = np.unpackbits(np.asarray(packed), axis=1)[:, :400]
+    # the warped page lands at +50 in the canvas; the whitened band
+    # covers dewarped x in [50, 400)
+    rows = np.where(binary[:, 50:400].all(axis=1))[0]
+    assert len(rows) and abs(rows.mean() - (wy + 50)) <= 2
+
+
+def test_binarize_sep_resized_no_grid():
+    rng = np.random.default_rng(5)
+    wh, ww = 520, 370
+    gray = rng.integers(0, 255, (wh, ww)).astype(np.uint8)
+    lh, lw = 650, 463
+    sep = np.zeros((lh, lw), bool)
+    sep[int(100 * lh / wh) - 1:int(100 * lh / wh) + 2, :] = True
+    packed = binarize.binarize_sep_resized_packed(
+        jnp.asarray(gray), 15, jnp.asarray(np.packbits(sep, axis=1)),
+        sep.shape[1])
+    binary = np.unpackbits(np.asarray(packed), axis=1)[:, :ww]
+    rows = np.where(binary.sum(axis=1) >= ww - 4)[0]
+    assert len(rows) and abs(rows.mean() - 100) <= 2
