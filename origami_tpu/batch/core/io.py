@@ -29,6 +29,8 @@ from pathlib import Path
 from origami_tpu import geometry as G
 from origami_tpu.core.segment import PredictorType, Segmentation
 
+_BUILTIN_OPEN = open
+
 
 def find_data_path(page_path):
     return Path(page_path).with_suffix(".out")
@@ -221,9 +223,29 @@ def write_contours_zip(zf, items, predictions_meta, widths=None):
                         json.dumps(dict(width=list(wlist))))
 
 
+_CONTOURS_PARSE_CACHE = {}
+
+
 def read_contours_zip(path, pred_type=None, open=open):
     """Read back (items, meta) from a contours zip; `items` is a list of
-    ((pred, label, idx...), geometry) sorted by numeric index."""
+    ((pred, label, idx...), geometry) sorted by numeric index.
+
+    Parses are memoized per (path, mtime, size, pred_type): within one
+    process, consecutive stages re-read the same upstream zips (WKT
+    parsing was ~1 s per 6 pages across the chain on the 1-core bench
+    host). Geometry objects are treated as immutable repo-wide, so
+    sharing them between callers is safe; the list itself is copied."""
+    cache_key = None
+    if open is _BUILTIN_OPEN:
+        try:
+            st = os.stat(path)
+            cache_key = (str(path), st.st_mtime_ns, st.st_size,
+                         pred_type)
+        except OSError:
+            cache_key = None
+        hit = _CONTOURS_PARSE_CACHE.get(cache_key)
+        if hit is not None:
+            return list(hit[0]), hit[1]
     items = []
     folder_meta = {}
     with open(path, "rb") as f:
@@ -249,6 +271,11 @@ def read_contours_zip(path, pred_type=None, open=open):
                             (parts, G.wkt.loads(zf.read(name).decode("utf8"))))
 
     items.sort(key=lambda it: _numeric_path_key(it[0]))
+    if cache_key is not None:
+        if len(_CONTOURS_PARSE_CACHE) > 64:
+            _CONTOURS_PARSE_CACHE.clear()
+        _CONTOURS_PARSE_CACHE[cache_key] = (items, folder_meta)
+        return list(items), folder_meta
     return items, folder_meta
 
 

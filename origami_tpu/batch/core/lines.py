@@ -210,14 +210,14 @@ class LineExtractor:
                     hv, res = identity_grid(*page.size())
             # sub-group by width bucket: one page-max width would run
             # every short line at the longest line's sequence length
-            # (4x the LSTM time for a page with one full-width rule)
+            # (4x the LSTM time for a page with one full-width rule).
+            # The ladder is the recognizer's own (256-px pitch) so the
+            # dispatch pads nothing further.
+            from origami_tpu.models.recognizer import strip_width_bucket
             buckets = collections.defaultdict(list)
             cap = self.bucket_cap
             for i, wid in enumerate(widths):
-                b = 256
-                while b < wid:
-                    b *= 2
-                buckets[min(b, cap) if cap else b].append(i)
+                buckets[strip_width_bucket(wid, cap)].append(i)
             with span("lines.page_upload"):
                 img_dev = page.device_pixels   # process-wide LRU upload
                 hv_dev = jnp.asarray(hv)
@@ -238,13 +238,12 @@ class LineExtractor:
 
     @property
     def bucket_cap(self):
-        """Power-of-two ceiling of max_width: the largest width bucket
+        """Ladder ceiling of max_width: the largest width bucket
         device_groups will emit (None = unbounded)."""
         if not self._max_width:
             return None
-        cap = 256
-        while cap < self._max_width:
-            cap *= 2
+        from origami_tpu.models.recognizer import strip_width_bucket
+        cap = strip_width_bucket(self._max_width, cap=None)
         return cap
 
     @property

@@ -35,6 +35,13 @@ def detect_block_lines(page, regions, min_height=4, force_lines=False,
         regions) else page.dewarped_binarized
     blocks = regions.by_path
     text_area = TextAreaFactory(list(blocks.values()))
+    # page-level skew once (coarsely decimated), refined per block:
+    # a full per-crop angle sweep for every region was ~20% of the
+    # lines stage's host time
+    from origami_tpu.core.baselines import estimate_skew
+    page_skew = estimate_skew(
+        (~np.asarray(binarized, dtype=bool)).astype(np.float32),
+        max_ds=8)
     out = {}
     for path, block in blocks.items():
         if region_filter is not None and not region_filter(path):
@@ -49,7 +56,7 @@ def detect_block_lines(page, regions, min_height=4, force_lines=False,
         crop = binarized[y0:y1, x0:x1]
         detections = detect_baselines(
             crop, origin=(x0, y0), min_line_height=min_height,
-            force_one=force_lines)
+            force_one=force_lines, skew_hint=page_skew)
         area = text_area(block)
         lines = []
         for det in detections:

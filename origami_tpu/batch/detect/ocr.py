@@ -117,19 +117,25 @@ class RecognizerPredictor:
 
         self._recognize_u8 = jax.jit(recognize_u8)
 
-    def warm_buckets(self, buckets=(256, 512, 1024, 2048)):
+    def warm_buckets(self, buckets=None, tail_batches=(32, 64)):
         """Compile the recognizer graph for every width bucket up
         front. Each (batch, bucket) LSTM shape compiles in minutes
         through the remote TPU compiler (then disk-cached); without
-        this, the first page that hits a new bucket stalls mid-batch."""
+        this, the first page that hits a new bucket stalls mid-batch.
+        Defaults to the canonical 256-px ladder, at the full batch size
+        plus the tail-batch ladder predict_device_deferred_multi uses."""
         import jax.numpy as jnp
+        from origami_tpu.models.recognizer import strip_width_ladder
+        if buckets is None:
+            buckets = strip_width_ladder()
         for b in buckets:
-            strips = jnp.full((self._batch_size, self.line_height, b),
-                              255, jnp.uint8)
-            w = jnp.full((self._batch_size,), float(b), jnp.float32)
-            ids, lengths, conf = self._recognize_u8(self._params,
-                                                    strips, w)
-            np.asarray(lengths)
+            for nb in (self._batch_size,) + tuple(tail_batches):
+                strips = jnp.full((nb, self.line_height, b),
+                                  255, jnp.uint8)
+                w = jnp.full((nb,), float(b), jnp.float32)
+                ids, lengths, conf = self._recognize_u8(self._params,
+                                                        strips, w)
+                np.asarray(lengths)
 
     def supports_device_strips(self, wmax, bucket_cap=2048):
         """Device-resident groups need greedy decode and widths within
@@ -168,40 +174,54 @@ class RecognizerPredictor:
         parts: [(strips_dev (nb_i, H, W) uint8, widths (n_i,))].
         """
         import jax.numpy as jnp
+        from origami_tpu.models.recognizer import strip_width_bucket
         w_in = parts[0][0].shape[2]
-        bucket = self._width_buckets([w_in])[0]
+        # the extractor already emits ladder widths, so this is a
+        # no-op pad in the production path
+        bucket = strip_width_bucket(w_in)
         B = self._batch_size
         n = sum(len(w) for _, w in parts)
-        chunks = -(-max(n, 1) // B)
+        # chunk sizes: full batches plus one tail batch off a small
+        # static ladder — a 14-line tail once ran as a full 128-row
+        # LSTM chunk (~20% of all chunk rows were tail padding)
+        sizes = [B] * (max(n, 1) // B)
+        tail = max(n, 1) - len(sizes) * B
+        if tail:
+            sizes.append(min(s for s in (32, 64, B) if s >= tail))
+        total = sum(sizes)
         segs = [d[: len(wd)] for d, wd in parts]
         dev = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=0)
         nb = dev.shape[0]
-        if w_in < bucket or nb < chunks * B:
-            dev = jnp.pad(dev, ((0, max(chunks * B - nb, 0)),
+        if w_in < bucket or nb < total:
+            dev = jnp.pad(dev, ((0, max(total - nb, 0)),
                                 (0, 0), (0, bucket - w_in)),
                           constant_values=255)
-        w = np.ones((chunks * B,), np.float32)
+        w = np.ones((total,), np.float32)
         w[:n] = np.concatenate([np.asarray(wd, np.float32)
                                 for _, wd in parts])
         outs = []
-        for c in range(chunks):
-            outs.append(self._recognize_u8(
-                self._params, dev[c * B: (c + 1) * B],
-                jnp.asarray(w[c * B: (c + 1) * B])))
-        return outs, n, B
+        off = 0
+        for sz in sizes:
+            outs.append((sz, self._recognize_u8(
+                self._params, dev[off: off + sz],
+                jnp.asarray(w[off: off + sz]))))
+            off += sz
+        return outs, n
 
     def finalize_device(self, deferred):
         """(texts, confs) for a predict_device_deferred result."""
-        outs, n, B = deferred
+        outs, n = deferred
         texts, confs = [], []
-        for c, (ids, lengths, conf) in enumerate(outs):
+        done = 0
+        for sz, (ids, lengths, conf) in outs:
             ids = np.asarray(ids)
             lengths = np.asarray(lengths)
             conf = np.asarray(conf)
-            for j in range(min(B, n - c * B)):
+            for j in range(min(sz, n - done)):
                 texts.append(self._ctc.ids_to_text(
                     ids[j], lengths[j], self._charset))
                 confs.append(float(conf[j]))
+            done += sz
         return texts, confs
 
     def predict_device(self, strips_dev, widths, n):

@@ -56,20 +56,26 @@ def _smooth(x, k):
     return np.convolve(x, kernel, mode="same")
 
 
-def estimate_skew(ink, max_angle=0.12, n_angles=25):
+def estimate_skew(ink, max_angle=0.12, n_angles=25, hint=None,
+                  max_ds=4):
     """Skew angle maximizing sheared-projection variance. ink: (H, W)
     float mask (1 = ink).
 
     Evaluated from per-column profiles: shearing shifts whole columns,
     so each candidate angle is a bincount over (row + shift[col]) with
-    column-profile weights — O(n_angles * H * W) via np.bincount."""
+    column-profile weights — O(n_angles * H * W) via np.bincount.
+
+    With `hint` (e.g. the page-level skew), only a fine-pitch window
+    around it is scored, hill-climbing outward while a window edge
+    wins — typically 7 evaluations instead of a full sweep (the lines
+    stage estimates skew for every region crop)."""
     h, w = ink.shape
     if h < 4 or w < 4 or ink.sum() < 4:
         return 0.0
     # estimate on a downsampled crop — small angles survive 2-4x
     # decimation and the bincounts get proportionally cheaper
     ds = 1
-    while (h // ds) * (w // ds) > 256 * 512 and ds < 4:
+    while (h // ds) * (w // ds) > 256 * 512 and ds < max_ds:
         ds *= 2
     if ds > 1:
         hh, ww = (h // ds) * ds, (w // ds) * ds
@@ -83,20 +89,15 @@ def estimate_skew(ink, max_angle=0.12, n_angles=25):
     # zero bins), which systematically picked one grid step off zero
     span = int(np.ceil(np.tan(max_angle) * (w / 2.0))) + 1
     length = h + 2 * span
-    # candidates by increasing |angle| so score ties (common after
-    # decimation, where neighboring shears round to identical shifts)
-    # resolve toward zero skew instead of the most negative candidate
-    angles = np.linspace(-max_angle, max_angle, n_angles)
-    angles = angles[np.argsort(np.abs(angles), kind="stable")]
     # the rounded shift is a monotone step function of the column, so
     # columns group into <= 2*span+1 runs per angle; one column-prefix
     # sum turns each run's row profile into two lookups — O(#runs * h)
     # per angle instead of O(h * w)
     cum = np.concatenate(
         [np.zeros((h, 1), ink.dtype), np.cumsum(ink, axis=1)], axis=1)
-    best_a, best_s = 0.0, -1.0
     prof = np.empty(length, np.float64)
-    for a in angles:
+
+    def score(a):
         shift = np.round(np.tan(a) * xs).astype(np.int64)
         change = np.flatnonzero(np.diff(shift)) + 1
         starts = np.concatenate(([0], change))
@@ -106,14 +107,60 @@ def estimate_skew(ink, max_angle=0.12, n_angles=25):
             s = int(shift[c0]) + span
             prof[s:s + h] += cum[:, c1]
             prof[s:s + h] -= cum[:, c0]
-        sc = prof.var()
-        if sc > best_s:
-            best_s, best_a = sc, float(a)
-    return best_a
+        return prof.var()
+
+    def search(angles):
+        # candidates by increasing |angle| so score ties (common after
+        # decimation, where neighboring shears round to identical
+        # shifts) resolve toward zero skew, not the most negative
+        angles = angles[np.argsort(np.abs(angles), kind="stable")]
+        best_a, best_s = 0.0, -1.0
+        for a in angles:
+            sc = score(a)
+            if sc > best_s:
+                best_s, best_a = sc, float(a)
+        return best_a
+
+    fine_pitch = 2 * max_angle / (n_angles - 1)
+    if hint is not None:
+        # windowed hill-climb around the hint: evaluate hint +- 2
+        # steps, then extend past whichever edge keeps winning
+        cache = {}
+
+        def ev(a):
+            a = round(min(max_angle, max(-max_angle, a)), 12)
+            if a not in cache:
+                cache[a] = score(a)
+            return a
+
+        for k in range(-2, 3):
+            ev(hint + k * fine_pitch)
+        while True:
+            best = max(cache, key=lambda a: (cache[a], -abs(a)))
+            grew = False
+            for nb in (best - fine_pitch, best + fine_pitch):
+                nb = round(min(max_angle, max(-max_angle, nb)), 12)
+                if nb not in cache:
+                    cache[nb] = score(nb)
+                    grew = True
+            if not grew:
+                return best
+
+    # coarse-to-fine: a coarse sweep then a local refinement around the
+    # winner evaluates ~half the candidates of a flat n_angles sweep
+    # at the same final resolution (the variance objective is smooth
+    # at the coarse pitch)
+    n_coarse = max(5, (n_angles + 1) // 2)
+    pitch = 2 * max_angle / (n_coarse - 1)
+    coarse = search(np.linspace(-max_angle, max_angle, n_coarse))
+    offs = np.arange(-2, 3) * fine_pitch
+    cand = np.clip(coarse + offs, -max_angle, max_angle)
+    cand = cand[np.abs(offs) < pitch]
+    return search(np.unique(cand))
 
 
 def detect_baselines(crop_binarized, origin=(0, 0), min_line_height=4,
-                     force_one=False, max_angle=0.12):
+                     force_one=False, max_angle=0.12, skew_hint=None):
     """Detect text lines in a binarized crop (True = paper).
 
     Returns a list of DetectedLine in page coordinates (crop offset by
@@ -125,7 +172,7 @@ def detect_baselines(crop_binarized, origin=(0, 0), min_line_height=4,
     if h < min_line_height or w < 2 or ink.sum() < min_line_height:
         return [_fake_line(origin, w, h)] if force_one else []
 
-    angle = estimate_skew(ink, max_angle=max_angle)
+    angle = estimate_skew(ink, max_angle=max_angle, hint=skew_hint)
     tan_a = math.tan(angle)
     xs = np.arange(w) - w / 2.0
     shift = tan_a * xs

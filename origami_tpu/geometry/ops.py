@@ -159,7 +159,16 @@ def distance(a, b):
 def dwithin(a, b, dist):
     """True iff distance(a, b) <= dist — with a bbox pre-check and an
     early-exiting native kernel (the adjacency graph asks this for
-    every candidate region pair)."""
+    every candidate region pair).
+
+    Deliberately avoids the full intersects() test: if the boundaries
+    come within `dist` the early-exiting segment-distance kernel
+    answers directly (crossing boundaries have distance 0), and if
+    they do not, the only remaining way to be within `dist` is full
+    containment — decided by a single-vertex point-in-polygon test
+    (boundaries that far apart cannot cross). The previous
+    vertex-containment + all-pairs segment-intersection prelude was
+    ~45% of the layout stage's host geometry time."""
     if a.is_empty or b.is_empty:
         return False
     ab, bb = a.bounds, b.bounds
@@ -167,9 +176,17 @@ def dwithin(a, b, dist):
     gap_y = max(bb[1] - ab[3], ab[1] - bb[3], 0.0)
     if gap_x * gap_x + gap_y * gap_y > dist * dist:
         return False
-    if intersects(a, b):
+    if _min_seg_dist(a, b, cutoff=dist) <= dist:
         return True
-    return _min_seg_dist(a, b, cutoff=dist) <= dist
+    if a.geom_type in _AREAL or a.geom_type == "GeometryCollection":
+        pts = _vertices_of(b)
+        if len(pts) and _contains_points(a, pts[:1]).any():
+            return True
+    if b.geom_type in _AREAL or b.geom_type == "GeometryCollection":
+        pts = _vertices_of(a)
+        if len(pts) and _contains_points(b, pts[:1]).any():
+            return True
+    return False
 
 
 def equals(a, b, tol=1e-9):
@@ -318,19 +335,26 @@ def _convex_clip(a, b):
         p2 = clip[(i + 1) % len(clip)]
         ex, ey = p2[0] - p1[0], p2[1] - p1[1]
         d = ex * (out[:, 1] - p1[1]) - ey * (out[:, 0] - p1[0])
-        nxt = np.roll(out, -1, axis=0)
-        d2 = np.roll(d, -1)
-        keep = []
-        for j in range(n):
-            if d[j] >= -eps:
-                keep.append(out[j])
-            if (d[j] >= -eps) != (d2[j] >= -eps):
-                t = d[j] / (d[j] - d2[j])
-                keep.append(out[j] + t * (nxt[j] - out[j]))
-        out = np.asarray(keep) if keep else np.zeros((0, 2))
+        nxt = np.concatenate([out[1:], out[:1]])
+        d2 = np.concatenate([d[1:], d[:1]])
+        inside = d >= -eps
+        crossing = inside != (d2 >= -eps)
+        denom = np.where(crossing, d - d2, 1.0)
+        ipts = out + (d / denom)[:, None] * (nxt - out)
+        # interleave kept vertices with edge intersections (same order
+        # as the classic per-vertex loop, but vectorized — this inner
+        # loop was the lines stage's hottest host geometry)
+        both = np.empty((2 * n, 2))
+        both[0::2] = out
+        both[1::2] = ipts
+        mask = np.empty(2 * n, bool)
+        mask[0::2] = inside
+        mask[1::2] = crossing
+        out = both[mask]
     if len(out) >= 3:
         # drop near-duplicate consecutive vertices
-        dup = np.linalg.norm(out - np.roll(out, 1, axis=0), axis=1) < 1e-9
+        dup = np.linalg.norm(
+            out - np.concatenate([out[-1:], out[:-1]]), axis=1) < 1e-9
         out = out[~dup]
     if len(out) < 3:
         return GEOMETRY_EMPTY

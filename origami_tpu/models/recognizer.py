@@ -137,6 +137,30 @@ def init_recognizer(model, rng, height=48, width=256):
     return model.init(rng, x)["params"]
 
 
+STRIP_WIDTH_STEP = 256
+
+
+def strip_width_bucket(width, cap=2048):
+    """Canonical device-path width bucket: the 256-px ladder.
+
+    ONE ladder shared by the line extractor, the recognizer's device
+    dispatch and bucket warmup — the extractor once bucketed to powers
+    of two and the recognizer re-bucketed those through the x1.5 host
+    ladder, silently padding 1024-wide strip groups to a 1458-wide
+    LSTM (~40% wasted timesteps on the dominant bucket). The 256-px
+    pitch keeps mean padding waste ~13% at 8 compile shapes
+    (each (batch, width) LSTM graph costs minutes through the remote
+    TPU compiler, then disk-caches)."""
+    b = max(STRIP_WIDTH_STEP,
+            -(-int(width) // STRIP_WIDTH_STEP) * STRIP_WIDTH_STEP)
+    return min(b, cap) if cap else b
+
+
+def strip_width_ladder(cap=2048):
+    """All strip_width_bucket values up to `cap`."""
+    return tuple(range(STRIP_WIDTH_STEP, int(cap) + 1, STRIP_WIDTH_STEP))
+
+
 def width_buckets(widths, time_downsample=4, min_bucket=128, max_bucket=2048):
     """Static bucket sizes (powers-of-two-ish) so each width class compiles
     once; replaces the reference's variable-width Calamari batches."""
