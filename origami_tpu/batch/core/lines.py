@@ -90,10 +90,22 @@ class LineRewriter:
             if cols is None:
                 parts.append((path, line, None))
             else:
+                # inset interior edges: the column x-values are divider
+                # CENTERS, so a divider-to-divider cell strip includes
+                # the stroke itself at both ends — the recognizer reads
+                # it as a stray 'l'/'J' glyph
+                up_h = float(np.linalg.norm(line._up))
+                inset = min(6.0, max(2.0, 0.12 * up_h))
                 edges = [None] + list(cols) + [None]
                 for i, (x0, x1) in enumerate(zip(edges, edges[1:])):
+                    ix0 = None if x0 is None else x0 + inset
+                    ix1 = None if x1 is None else x1 - inset
+                    if ix0 is not None and ix1 is not None \
+                            and ix1 - ix0 < 4:
+                        ix0, ix1 = x0, x1
                     parts.append(
-                        (self._column_path(path, 1 + i), line, (x0, x1)))
+                        (self._column_path(path, 1 + i), line,
+                         (ix0, ix1)))
         return parts
 
 
@@ -168,6 +180,12 @@ class LineExtractor:
         by_page = collections.defaultdict(list)
         for path, line, column in parts:
             by_page[id(line.block.page)].append((path, line, column))
+        # NOTE on x margins: adding white/paper margins around the
+        # extent (fill or sampled, via extract_dewarped_strips'
+        # x_margin) was A/B'd against the trained recognizer and HURT
+        # (bad_text 25 -> 41, CER 0.0070 -> 0.0113 on the eval
+        # corpus) — the recognizer wants the tight ink extent it was
+        # effectively trained on. Keep extents tight.
         for group in by_page.values():
             page = group[0][1].block.page
             frames, widths = [], []
@@ -232,7 +250,7 @@ class LineExtractor:
                 with span("lines.extract_dispatch"):
                     strips = extract_dewarped_strips(
                         img_dev, hv_dev, res, jnp.asarray(fr),
-                        jnp.asarray(wd), th, wmax)
+                        jnp.asarray(wd), th, wmax, 255.0, 0)
                 yield ([group[i][0] for i in idxs], strips,
                        wd[: len(idxs)].copy(), wmax)
 

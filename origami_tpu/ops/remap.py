@@ -108,17 +108,21 @@ def _upsample_lattice(c, step, out_h, out_w):
     return r.reshape(out_h, (cw - 1) * step)[:, :out_w]
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6))
+@functools.partial(jax.jit, static_argnums=(5, 6, 8))
 def extract_dewarped_strips(image, hv, res, frames, widths, out_h, out_w,
-                            fill=255.0):
+                            fill=255.0, x_margin=0):
     """Fused batched line extraction through the inverse dewarp grid.
 
     For each line i, `frames` (N, 2, 3) is an affine mapping strip
     pixel (x, y, 1) -> DEWARPED page coords; those are pushed through
     the dewarp sample grid `hv` ((gh, gw, 2), cell size `res` — the
     exact device twin of Grid.inverse_points) and the warped page is
-    gathered at the result. Columns past `widths[i]` return `fill`.
-    Returns (N, out_h, out_w) uint8.
+    gathered at the result. Columns past `widths[i]` return `fill`,
+    as do the first/last `x_margin` columns inside each width — a
+    FILL margin, not extra page sampling, so a neighboring separator
+    or table-divider stroke can never enter the strip (training
+    strips carry such margins; a glyph flush against the strip edge
+    decodes poorly). Returns (N, out_h, out_w) uint8.
 
     Replaces the host loop of per-line grid builds + inverse_points
     (reference: origami/core/block.py:223-259 line warps +
@@ -173,7 +177,7 @@ def extract_dewarped_strips(image, hv, res, frames, widths, out_h, out_w,
         cx = _upsample_lattice(interp(hvx), step, out_h, out_w)
         cy = _upsample_lattice(interp(hvy), step, out_h, out_w)
         # pad columns -> far out of bounds -> fill
-        pad = xs[None, :] >= width
+        pad = (xs[None, :] >= width - x_margin) | (xs[None, :] < x_margin)
         cx = jnp.where(pad, -1e6, cx)
         cy = jnp.where(pad, -1e6, cy)
         return bilinear_sample_xy(img, cx, cy, fill)

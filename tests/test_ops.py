@@ -267,3 +267,23 @@ def test_binarize_sep_resized_no_grid():
     binary = np.unpackbits(np.asarray(packed), axis=1)[:, :ww]
     rows = np.where(binary.sum(axis=1) >= ww - 4)[0]
     assert len(rows) and abs(rows.mean() - 100) <= 2
+
+
+def test_extract_strips_x_margin():
+    """x_margin columns inside each width are FILL, and the frame
+    convention (caller shifts origin by -x_margin * dx) keeps the
+    content aligned after the margin."""
+    img = np.tile(np.arange(100, dtype=np.float32), (20, 1))
+    hv, res = remap.identity_grid(100, 20)
+    xm = 4
+    frame = np.array([[1, 0, 10 - xm], [0, 1, 5]], np.float32)
+    strips = np.asarray(remap.extract_dewarped_strips(
+        jnp.asarray(img), jnp.asarray(hv), res,
+        jnp.asarray(frame[None]), jnp.asarray([20 + 2 * xm]),
+        8, 40, 255.0, xm))
+    s = strips[0]
+    assert (s[:, :xm] == 255).all()          # leading fill margin
+    assert s[0, xm] == 10                    # content starts after it
+    assert s[0, xm + 19] == 29               # ...and spans the width
+    assert (s[:, xm + 20: xm + 24] == 255).all()   # trailing margin
+    assert (s[:, 28:] == 255).all()          # past width: fill

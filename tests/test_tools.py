@@ -86,10 +86,13 @@ def test_table_region_combinator():
 
 
 def test_line_rewriter():
+    import types
+    import numpy as np
     from origami_tpu.batch.core.lines import LineRewriter
     tables = dict(columns={"regions/TABULAR/5.1.1.1": [100.0, 200.0]})
     rw = LineRewriter(tables)
-    lines = {("regions", "TABULAR", "5.1.1.1", "0"): "line_obj"}
+    line = types.SimpleNamespace(_up=np.array([0.0, 25.0]))
+    lines = {("regions", "TABULAR", "5.1.1.1", "0"): line}
     parts = rw(lines)
     # 2 columns -> 3 cells, named block.division.line.column
     assert len(parts) == 3
@@ -97,10 +100,17 @@ def test_line_rewriter():
     assert paths[0] == ("regions", "TABULAR", "5.1.1.1", "0")
     assert paths[1] == ("regions", "TABULAR", "5.1.1.2", "0")
     assert paths[2] == ("regions", "TABULAR", "5.1.1.3", "0")
+    # interior edges are inset by 0.12 * line height (min 2, max 6 px)
+    # so the divider stroke itself stays out of the cell strip
+    inset = 3.0
     cols = [c for _, _, c in parts]
-    assert cols[0] == (None, 100.0)
-    assert cols[1] == (100.0, 200.0)
-    assert cols[2] == (200.0, None)
+    assert cols[0] == (None, 100.0 - inset)
+    assert cols[1] == (100.0 + inset, 200.0 - inset)
+    assert cols[2] == (200.0 + inset, None)
+    # degenerate (very narrow) cells keep their original edges
+    tables2 = dict(columns={"regions/TABULAR/5.1.1.1": [100.0, 104.0]})
+    parts2 = LineRewriter(tables2)(lines)
+    assert [c for _, _, c in parts2][1] == (100.0, 104.0)
 
 
 def test_concave_hull():
