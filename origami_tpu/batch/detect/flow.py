@@ -27,14 +27,31 @@ from origami_tpu.core.math import Orientation
 
 
 def detect_block_lines(page, regions, min_height=4, force_lines=False,
-                       region_filter=None):
+                       region_filter=None, separators=None):
     """Detect lines in all (TEXT-like) blocks of a page.
 
-    Returns {block_path: [Line, ...]} on the page's current stage."""
+    Returns {block_path: [Line, ...]} on the page's current stage.
+
+    With `separators` (core.separate.Separators in the same stage
+    space), buffered separator geometry is subtracted from each
+    non-TABULAR block's text area so extended baselines stop short of
+    a column rule instead of sampling its stroke (the recognizer reads
+    a bled-in rule as a stray 'l'). TABULAR blocks keep the full area:
+    their V separators are the table's own dividers, and shaving them
+    would truncate row lines to one column."""
     binarized = page.binarized if regions is None or not _any_dewarped(
         regions) else page.dewarped_binarized
     blocks = regions.by_path
-    text_area = TextAreaFactory(list(blocks.values()))
+    obstacles = []
+    if separators is not None:
+        from origami_tpu.geometry.ops import buffer as _buffer
+        for geom in separators.geoms:
+            try:
+                obstacles.append(_buffer(geom, 3.0))
+            except Exception:
+                pass
+    text_area = TextAreaFactory(list(blocks.values()),
+                                obstacles=obstacles)
     # page-level skew once (coarsely decimated), refined per block:
     # a full per-crop angle sweep for every region was ~20% of the
     # lines stage's host time
@@ -57,7 +74,8 @@ def detect_block_lines(page, regions, min_height=4, force_lines=False,
         detections = detect_baselines(
             crop, origin=(x0, y0), min_line_height=min_height,
             force_one=force_lines, skew_hint=page_skew)
-        area = text_area(block)
+        area = text_area(
+            block, avoid_obstacles="TABULAR" not in tuple(path))
         lines = []
         for det in detections:
             p, right = extend_baseline(area, det.p, det.right, det.up)
@@ -114,7 +132,8 @@ class FlowDetectionProcessor(Processor):
         regions = warped.regions
         separators = warped.separators
 
-        block_lines = detect_block_lines(page, regions)
+        block_lines = detect_block_lines(page, regions,
+                                         separators=separators)
 
         max_phi = math.radians(self._opt.get("max_phi", 30.0))
         max_std = self._opt.get("max_phi_std", 0.1)

@@ -78,13 +78,15 @@ class LineDetectionProcessor(Processor):
     def artifacts(self):
         return [
             ("warped", Input(Artifact.SEGMENTATION, stage=Stage.WARPED)),
+            ("dewarped", Input(Artifact.CONTOURS, Artifact.SEGMENTATION,
+                               stage=Stage.DEWARPED)),
             ("aggregate", Input(Artifact.CONTOURS, Artifact.TABLES,
                                 stage=Stage.AGGREGATE)),
             ("output", Output(Artifact.CONTOURS, Artifact.LINES,
                               stage=Stage.RELIABLE)),
         ]
 
-    def process(self, page_path, warped, aggregate, output):
+    def process(self, page_path, warped, dewarped, aggregate, output):
         blocks = aggregate.regions.by_path
         if not blocks:
             return
@@ -96,9 +98,17 @@ class LineDetectionProcessor(Processor):
         text_blocks = {p: b for p, b in blocks.items()
                        if self._text_regions(p)}
 
+        # separators come from the DEWARPED contours (same coordinate
+        # space as the aggregate regions): the layout stage's
+        # contours.2.zip carries regions only, as in the reference
+        try:
+            separators = dewarped.separators
+        except Exception:
+            separators = None
         detected_by_block = detect_block_lines(
             page, aggregate.regions, force_lines=True,
-            region_filter=lambda p: p in text_blocks)
+            region_filter=lambda p: p in text_blocks,
+            separators=separators)
 
         for block_path, lines in detected_by_block.items():
             for line in lines:

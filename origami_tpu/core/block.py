@@ -436,12 +436,21 @@ class TextAreaFactory:
     """Text area of a block = its polygon minus buffered neighbour blocks
     (reference origami/core/block.py TextAreaFactory)."""
 
-    def __init__(self, blocks=(), buffer=10):
+    def __init__(self, blocks=(), buffer=10, obstacles=()):
         self._blocks = list(blocks)
         self._buffer = buffer
         self._tree = G.STRtree([b.image_space_polygon for b in self._blocks])
         self._index = {id(b): i for i, b in enumerate(self._blocks)}
         self._overlaps = {}
+        # obstacles: pre-buffered AREAL geometries (e.g. page
+        # separators) that text must not extend across; subtracted
+        # per block unless the caller opts out (table dividers are V
+        # separators too — shaving them would truncate row lines to
+        # one column)
+        self._obstacles = [o for o in obstacles
+                           if o is not None and not o.is_empty]
+        self._obstacle_tree = (G.STRtree(self._obstacles)
+                               if self._obstacles else None)
 
     def _interiors_overlap(self, i, j, pi, pj):
         # every candidate pair is probed twice across the per-block
@@ -459,7 +468,7 @@ class TextAreaFactory:
             self._overlaps[key] = hit
         return hit
 
-    def __call__(self, block):
+    def __call__(self, block, avoid_obstacles=True):
         poly = block.image_space_polygon
         area = poly
         bi = self._index.get(id(block), -1)
@@ -473,4 +482,7 @@ class TextAreaFactory:
                                        other.image_space_polygon):
                 area = area.difference(
                     other.image_space_polygon.buffer(self._buffer))
+        if avoid_obstacles and self._obstacle_tree is not None:
+            for idx in self._obstacle_tree.query_indices(poly):
+                area = area.difference(self._obstacles[int(idx)])
         return area if not area.is_empty else poly
