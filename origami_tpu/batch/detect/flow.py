@@ -59,7 +59,7 @@ def detect_block_lines(page, regions, min_height=4, force_lines=False,
     page_skew = estimate_skew(
         (~np.asarray(binarized, dtype=bool)).astype(np.float32),
         max_ds=8)
-    out = {}
+    det_by_block = {}
     for path, block in blocks.items():
         if region_filter is not None and not region_filter(path):
             continue
@@ -68,16 +68,28 @@ def detect_block_lines(page, regions, min_height=4, force_lines=False,
         x0 = max(0, x0); y0 = max(0, y0)
         x1 = min(w, x1 + 1); y1 = min(h, y1 + 1)
         if x1 - x0 < 2 or y1 - y0 < min_height:
-            out[path] = []
+            det_by_block[path] = (block, [])
             continue
         crop = binarized[y0:y1, x0:x1]
-        detections = detect_baselines(
+        det_by_block[path] = (block, detect_baselines(
             crop, origin=(x0, y0), min_line_height=min_height,
-            force_one=force_lines, skew_hint=page_skew)
+            force_one=force_lines, skew_hint=page_skew))
+
+    # page-median band height gates the crop-clip recovery (see
+    # core.baselines.unclip_band)
+    from origami_tpu.core.baselines import unclip_band
+    heights = [d.ascent + d.descent
+               for _, dets in det_by_block.values()
+               for d in dets if not d.fake]
+    page_band_h = float(np.median(heights)) if heights else 0.0
+
+    out = {}
+    for path, (block, detections) in det_by_block.items():
         area = text_area(
             block, avoid_obstacles="TABULAR" not in tuple(path))
         lines = []
         for det in detections:
+            det = unclip_band(det, page_band_h)
             p, right = extend_baseline(area, det.p, det.right, det.up)
             lines.append(Line(
                 block, p=p, right=right, up=det.up,

@@ -38,6 +38,8 @@ class DetectedLine:
     descent: float
     height: float
     fake: bool = False
+    clipped_top: bool = False     # band touched the crop's top edge
+    clipped_bottom: bool = False  # band touched the crop's bottom edge
 
     @property
     def data(self):
@@ -267,7 +269,8 @@ def detect_baselines(crop_binarized, origin=(0, 0), min_line_height=4,
         out.append(DetectedLine(
             p=p_bottom, right=right, up=up_vec,
             baseline=(tuple(p1), tuple(p2)),
-            ascent=ascent, descent=descent, height=height))
+            ascent=ascent, descent=descent, height=height,
+            clipped_top=(y0 <= 0), clipped_bottom=(y1 >= h)))
 
     if not out and force_one:
         return [_fake_line(origin, w, h)]
@@ -281,6 +284,44 @@ def _fake_line(origin, w, h):
         baseline=(tuple(origin + [0.0, h * 0.8]),
                   tuple(origin + [float(w), h * 0.8])),
         ascent=h * 0.8, descent=h * 0.2, height=float(h), fake=True)
+
+
+def unclip_band(det, page_band_h):
+    """Restore a crop-clipped band to page-typical height.
+
+    A region contour crossing mid-row (e.g. segmentation
+    under-covering a table title by a few px) clips the detected band
+    at the crop edge; the over-magnified partial glyphs then decode to
+    garbage. When a band touched the crop edge AND is well below the
+    page's median band height, extend it outward past the crop — the
+    extractor samples the page, not the crop, so the full glyphs are
+    recovered."""
+    from dataclasses import replace
+    if det.fake or page_band_h <= 0:
+        return det
+    bh = det.ascent + det.descent
+    if bh >= 0.7 * page_band_h:
+        return det
+    if not (det.clipped_top or det.clipped_bottom):
+        return det
+    n = det.up / (np.linalg.norm(det.up) + 1e-9)
+    grow = min(page_band_h - bh, 0.8 * page_band_h)
+    p, up = det.p, det.up
+    ascent, descent = det.ascent, det.descent
+    if det.clipped_top and det.clipped_bottom:
+        p = p - n * (grow / 2)
+        up = up + n * grow
+        ascent += grow / 2
+        descent += grow / 2
+    elif det.clipped_top:
+        up = up + n * grow
+        ascent += grow
+    else:
+        p = p - n * grow
+        up = up + n * grow
+        descent += grow
+    return replace(det, p=p, up=up, ascent=ascent, descent=descent,
+                   height=ascent)
 
 
 def extend_baseline(text_area, p, right, up):
