@@ -131,6 +131,12 @@ class LineExtractor:
                          help="line binarization (e.g. otsu, sauvola)"),
             click.option("--do-not-dewarp", is_flag=True, default=False),
             click.option("--do-not-deskew", is_flag=True, default=False),
+            click.option("--extract-mode",
+                         type=click.Choice(["banded", "gather"]),
+                         default="banded",
+                         help="strip extraction: gather-free banded "
+                              "slices off the dewarped page (default) "
+                              "vs the warped-page inverse-grid gather"),
         ]
         for o in opts:
             f = o(f)
@@ -236,23 +242,80 @@ class LineExtractor:
             cap = self.bucket_cap
             for i, wid in enumerate(widths):
                 buckets[strip_width_bucket(wid, cap)].append(i)
-            with span("lines.page_upload"):
-                img_dev = page.device_pixels   # process-wide LRU upload
-                hv_dev = jnp.asarray(hv)
+            # extraction route: "banded" slices strips off the
+            # device-resident DEWARPED page with zero gathers
+            # (ops.remap.extract_strips_banded — the page gather runs
+            # at ~6 M samples/s on v5e, ~0.8 s/page of strips);
+            # "gather" keeps the warped-page inverse-grid gather.
+            mode = self._options.get("extract_mode", "banded")
+            dew_dev = None
+            if mode == "banded":
+                with span("lines.page_upload"):
+                    dew_dev = page.dewarped_dev \
+                        if dewarp and page.grid is not None \
+                        else page.device_pixels
+            img_dev = hv_dev = None
+            if mode != "banded" or dew_dev is None:
+                with span("lines.page_upload"):
+                    img_dev = page.device_pixels
+                    hv_dev = jnp.asarray(hv)
             for wmax, idxs in sorted(buckets.items()):
-                nb = 32
-                while nb < len(idxs):
-                    nb *= 2
-                fr = np.zeros((nb, 2, 3), np.float32)
-                fr[: len(idxs)] = np.stack([frames[i] for i in idxs])
-                wd = np.zeros(nb, np.int32)
-                wd[: len(idxs)] = [widths[i] for i in idxs]
-                with span("lines.extract_dispatch"):
-                    strips = extract_dewarped_strips(
-                        img_dev, hv_dev, res, jnp.asarray(fr),
-                        jnp.asarray(wd), th, wmax, 255.0, 0)
-                yield ([group[i][0] for i in idxs], strips,
-                       wd[: len(idxs)].copy(), wmax)
+                # partition by banded eligibility: profile statics
+                # (slab K, slab W) must cover each strip's source
+                # footprint, and the shear pass is a static 6-tap band
+                parts_out = {"p1": [], "p2": [], "gather": []}
+                for i in idxs:
+                    parts_out[self._extract_profile(
+                        frames[i], widths[i], th, dew_dev)].append(i)
+                for prof, sub in parts_out.items():
+                    if not sub:
+                        continue
+                    nb = 32
+                    while nb < len(sub):
+                        nb *= 2
+                    fr = np.zeros((nb, 2, 3), np.float32)
+                    fr[: len(sub)] = np.stack([frames[i] for i in sub])
+                    wd = np.zeros(nb, np.int32)
+                    wd[: len(sub)] = [widths[i] for i in sub]
+                    with span("lines.extract_dispatch"):
+                        if prof == "gather":
+                            if img_dev is None:
+                                img_dev = page.device_pixels
+                                hv_dev = jnp.asarray(hv)
+                            strips = extract_dewarped_strips(
+                                img_dev, hv_dev, res, jnp.asarray(fr),
+                                jnp.asarray(wd), th, wmax, 255.0, 0)
+                        else:
+                            from origami_tpu.ops.remap import \
+                                extract_strips_banded
+                            k, sw = ((64, wmax + 8) if prof == "p1"
+                                     else (128, 2 * wmax + 8))
+                            strips = extract_strips_banded(
+                                dew_dev, jnp.asarray(fr),
+                                jnp.asarray(wd), th, wmax, k, sw,
+                                6, 255.0)
+                    yield ([group[i][0] for i in sub], strips,
+                           wd[: len(sub)].copy(), wmax)
+
+    @staticmethod
+    def _extract_profile(frame, width, th, dew_dev):
+        """Which extraction dispatch a line belongs to: "p1"
+        (body-text banded statics), "p2" (large-text banded statics)
+        or "gather" (footprint exceeds the banded profiles, or no
+        device source page)."""
+        if dew_dev is None:
+            return "gather"
+        a0, a1 = float(frame[0, 0]), float(frame[0, 1])
+        b0, b1 = float(frame[1, 0]), float(frame[1, 1])
+        if abs(a1) * max(th - 1, 1) / 2.0 > 2.0:
+            return "gather"   # shear exceeds the static 6-tap band
+        vspan = abs(b0) * max(width - 1, 1) + abs(b1) * (th - 1) + 4
+        hspan = a0 * max(width - 1, 1) + abs(a1) * (th - 1) + 4
+        if a0 <= 1.0 and vspan <= 62 and hspan <= width + 6:
+            return "p1"
+        if a0 <= 2.0 and vspan <= 126:
+            return "p2"
+        return "gather"
 
     @property
     def bucket_cap(self):

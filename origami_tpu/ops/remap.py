@@ -274,6 +274,117 @@ def dewarp_banded_u8(image, lat_my, lat_mx, step, d1, n1, d2, n2,
     return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def extract_strips_banded(dew, frames, widths, out_h, out_w, slab_k,
+                          slab_w, n_shear=6, fill=255.0):
+    """Gather-free line-strip extraction from the DEWARPED page.
+
+    The gather formulation (extract_dewarped_strips) pays XLA's
+    elementwise-gather rate (~6 M samples/s on v5e — ~0.8 s/page of
+    strips, the dominant OCR-stage device cost). Post-dewarp, lines are
+    near-axis-aligned, so each strip is an affine resample of a small
+    page window; this formulation never gathers:
+
+      1. one dynamic-slice pulls the strip's (slab_k, slab_w) source
+         window from the fill-padded dewarped page;
+      2. a K-tap scan of hat-weighted row FMAs vertically resamples the
+         slab through the exact Catmull-Smith intermediate map
+         Y'(y, j) = Y at the strip x that lands on source column j
+         (affine in (y, j) — same composition dewarp_banded uses);
+      3. a static 6-tap banded column pass corrects the horizontal
+         shear term a1*(y - yc);
+      4. an MXU matmul with an iota-built hat-weight matrix applies
+         the horizontal scale u(x) = a0*x + (a2 - sx0) + a1*yc.
+
+    frames: (N, 2, 3) strip (x, y, 1) -> DEWARPED page coords (NOT
+    pushed through the inverse grid — the source is the dewarped page
+    itself, which layout already materialized device-side via the
+    banded dewarp). Rows past the real count are padding; callers
+    discard their output. Caller guarantees per the eligibility rules
+    in batch/core/lines.py: a0*out_w + 2 <= slab_w and the vertical
+    footprint fits slab_k (else the gather path takes the line).
+
+    Reference: origami/core/block.py:223-259 extracts via per-line
+    cv2 warps from the dewarped page; this is the batched device twin.
+    Returns (N, out_h, out_w) uint8.
+    """
+    img = dew.astype(jnp.float32)
+    h, w = img.shape
+    pad = 16
+    # the padded page must fit a whole slab (a narrow page can be
+    # smaller than a wide strip bucket's slab)
+    extra_y = max(0, slab_k - (h + 2 * pad))
+    extra_x = max(0, slab_w - (w + 2 * pad))
+    padded = jnp.pad(img, ((pad, pad + extra_y), (pad, pad + extra_x)),
+                     constant_values=fill)
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    js = jnp.arange(slab_w, dtype=jnp.float32)
+    yc = (out_h - 1) / 2.0
+
+    def one(_, fw):
+        frame, width = fw
+        a0 = jnp.maximum(frame[0, 0], 1e-6)
+        a1, a2 = frame[0, 1], frame[0, 2]
+        b0, b1, b2 = frame[1, 0], frame[1, 1], frame[1, 2]
+        wf = jnp.maximum(width.astype(jnp.float32), 2.0)
+        # source footprint over the REAL width (padded columns are
+        # fill anyway) — corners of the affine image of the strip
+        xc = a0 * jnp.stack([0.0, wf - 1])
+        x_all = (xc[:, None] + a1 * jnp.stack([0.0, out_h - 1.0]))\
+            .reshape(-1) + a2
+        y_all = (b0 * jnp.stack([0.0, wf - 1])[:, None]
+                 + b1 * jnp.stack([0.0, out_h - 1.0])[None, :])\
+            .reshape(-1) + b2
+        sx0 = jnp.floor(jnp.min(x_all)) - 1.0
+        sy0 = jnp.floor(jnp.min(y_all)) - 1.0
+        # clamp the slab into the padded page (off-page reads fill)
+        r0 = jnp.clip(sy0 + pad, 0, h + 2 * pad + extra_y - slab_k)\
+            .astype(jnp.int32)
+        c0 = jnp.clip(sx0 + pad, 0, w + 2 * pad + extra_x - slab_w)\
+            .astype(jnp.int32)
+        sy0 = r0.astype(jnp.float32) - pad
+        sx0 = c0.astype(jnp.float32) - pad
+        slab = jax.lax.dynamic_slice(padded, (r0, c0), (slab_k, slab_w))
+
+        # pass 1: vertical through the intermediate map
+        #   Y'(y, j) = r*(sx0 + j - a2) + (b1 - r*a1)*y + b2,  r = b0/a0
+        r = b0 / a0
+        m = (r * (sx0 + js[None, :] - a2) + (b1 - r * a1) * ys[:, None]
+             + b2 - sy0)
+        m = jnp.clip(m, 0.0, slab_k - 1.0)
+
+        def vtap(acc, k):
+            row = jax.lax.dynamic_slice(slab, (k, 0), (1, slab_w))
+            wgt = jnp.maximum(0.0, 1.0 - jnp.abs(m - k.astype(jnp.float32)))
+            return acc + row * wgt, None
+
+        t, _ = jax.lax.scan(vtap, jnp.zeros((out_h, slab_w), jnp.float32),
+                            jnp.arange(slab_k, dtype=jnp.int32))
+
+        # pass 2a: shear correction, T2[y, j] = T[y, j + a1*(y - yc)]
+        mx = js[None, :] + a1 * (ys[:, None] - yc)
+        t = _resample_cols_banded(t, mx, -(n_shear // 2), n_shear, fill)
+
+        # pass 2b: horizontal scale as an MXU matmul
+        u = a0 * xs + (a2 - sx0) + a1 * yc
+        wm = jnp.maximum(0.0, 1.0 - jnp.abs(u[None, :] - js[:, None]))
+        out = t @ wm
+
+        # fill semantics: true page coords out of bounds, or columns
+        # past the real width, return fill (hard-edged, vs the gather
+        # path's blended border taps — differs only on page borders)
+        px = a0 * xs[None, :] + a1 * ys[:, None] + a2
+        py = b0 * xs[None, :] + b1 * ys[:, None] + b2
+        valid = ((px > -0.5) & (px < w - 0.5) & (py > -0.5)
+                 & (py < h - 0.5) & (xs[None, :] < wf))
+        return None, jnp.where(valid, out, fill)
+
+    _, out = jax.lax.scan(one, None,
+                          (frames, widths.astype(jnp.float32)))
+    return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+
+
 def identity_grid(page_w, page_h):
     """A 2x2 dewarp sample grid whose inverse transform is the
     identity (bilinear interpolation of a linear map is exact)."""

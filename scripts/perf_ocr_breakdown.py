@@ -63,6 +63,44 @@ def main():
             ts.append(time.perf_counter() - t0)
         t_extract = min(ts)
 
+        # banded (gather-free) extraction from the dewarped page —
+        # here dewarped == warped (identity grid), frames unchanged.
+        # These frames are a0=1.25 (downscale) -> the K=128 profile;
+        # body text (a0~0.4) runs the cheaper K=64 profile below.
+        from origami_tpu.ops.remap import extract_strips_banded
+        t_banded = {}
+        for prof, k, sw in [("p2", 128, 2 * wmax + 8)]:
+            sb = extract_strips_banded(img_dev, frd, wdd, th, wmax,
+                                       k, sw, 6, 255.0)
+            fence(sb)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                s3 = extract_strips_banded(img_dev, frd, wdd, th,
+                                           wmax, k, sw, 6, 255.0)
+                fence(s3)
+                ts.append(time.perf_counter() - t0)
+            t_banded[prof] = min(ts)
+
+        # body-text-like frames (xres ~2.4 magnification, p1 profile)
+        fr1 = np.zeros((nb, 2, 3), np.float32)
+        for i in range(nb):
+            xres = 2.4
+            fr1[i] = [[1 / xres, 0.0, rng.uniform(50, 200)],
+                      [0.0, (20.0 / th), rng.uniform(100, h - 200)]]
+        fr1d = jnp.asarray(fr1)
+        sb = extract_strips_banded(img_dev, fr1d, wdd, th, wmax,
+                                   64, wmax + 8, 6, 255.0)
+        fence(sb)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s3 = extract_strips_banded(img_dev, fr1d, wdd, th, wmax,
+                                       64, wmax + 8, 6, 255.0)
+            fence(s3)
+            ts.append(time.perf_counter() - t0)
+        t_banded["p1"] = min(ts)
+
         # recognition alone (deferred path pads to full 128 chunk)
         d = pred.predict_device_deferred(strips, wd.astype(np.float32), nb)
         pred.finalize_device(d)  # compile
@@ -74,8 +112,10 @@ def main():
             pred.finalize_device(d)
             ts.append(time.perf_counter() - t0)
         t_rec = min(ts)
-        print("nb=%-3d wmax=%-5d extract %6.3f s   recognize %6.3f s"
-              % (nb, wmax, t_extract, t_rec), flush=True)
+        print("nb=%-3d wmax=%-5d extract %6.3f s   banded_p2 %6.3f s"
+              "   banded_p1 %6.3f s   recognize %6.3f s"
+              % (nb, wmax, t_extract, t_banded["p2"], t_banded["p1"],
+                 t_rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -287,3 +287,146 @@ def test_extract_strips_x_margin():
     assert s[0, xm + 19] == 29               # ...and spans the width
     assert (s[:, xm + 20: xm + 24] == 255).all()   # trailing margin
     assert (s[:, 28:] == 255).all()          # past width: fill
+
+
+def _strip_frame(x0, y0, w_src, h_band, th=48, slope=0.0):
+    """Affine strip frame the way Line.dewarped_frame builds one:
+    xres = th / h_band (aspect-true magnification)."""
+    xres = th / h_band
+    width = int(np.ceil(w_src * xres))
+    right = np.array([w_src, slope * w_src], np.float32)
+    n = 1.0 / np.hypot(1.0, slope)
+    up = np.array([-slope * h_band, -h_band], np.float32) * n
+    p0 = np.array([x0, y0], np.float32)
+    dx = right / (width - 1)
+    dy = -up / (th - 1)
+    origin = p0 + up
+    return (np.array([[dx[0], dy[0], origin[0]],
+                      [dx[1], dy[1], origin[1]]], np.float32), width)
+
+
+def test_extract_strips_banded_matches_gather():
+    """The gather-free banded extractor agrees with the inverse-grid
+    gather on an identity grid (where dewarped == warped page). The
+    gather path floor-casts while banded rounds, so exact agreement
+    shows up as a <= 1 gray-level difference."""
+    rng = np.random.default_rng(11)
+    H, W = 400, 600
+    # smooth content (like page imagery): the sheared cases carry a
+    # ~0.05 px two-pass composition error, which white noise would
+    # amplify into arbitrary value differences
+    img = rng.random((H, W)) * 255
+    k = np.ones(5) / 5
+    img = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, img)
+    img = np.apply_along_axis(lambda c: np.convolve(c, k, "same"), 0, img)
+    img = img.astype(np.uint8)
+    th, out_w = 48, 256
+    hv, res = remap.identity_grid(W, H)
+    frames, widths = zip(
+        _strip_frame(50, 100, 100, 20),            # body text, xres 2.4
+        _strip_frame(200, 200, 90, 20, slope=0.02),   # slight slope
+        _strip_frame(30, 300, 110, 16, slope=-0.015))
+    frames = np.stack(frames)
+    widths = np.array([min(w, out_w) for w in widths], np.int32)
+    ref = np.asarray(remap.extract_dewarped_strips(
+        jnp.asarray(img), jnp.asarray(hv), res, jnp.asarray(frames),
+        jnp.asarray(widths), th, out_w, 255.0, 0)).astype(float)
+    got = np.asarray(remap.extract_strips_banded(
+        jnp.asarray(img), jnp.asarray(frames), jnp.asarray(widths),
+        th, out_w, 64, out_w + 8, 6, 255.0)).astype(float)
+    d0 = np.abs(ref[0, :, :widths[0]] - got[0, :, :widths[0]])
+    assert d0.max() <= 1.0          # no shear: floor-vs-round only
+    for i in (1, 2):                # sheared: 2-pass composition error
+        di = np.abs(ref[i, :, :widths[i]] - got[i, :, :widths[i]])
+        assert di.mean() <= 1.5 and np.percentile(di, 99) <= 8
+    # columns past each width are fill in both paths
+    assert (np.asarray(got)[0, :, widths[0]:] == 255).all()
+
+
+def test_extract_strips_banded_integer_crop_exact():
+    """An integer-aligned unit-scale frame is a pure crop."""
+    img = (np.arange(200 * 300) % 251).reshape(200, 300).astype(np.uint8)
+    th, out_w = 48, 256
+    frame = np.array([[1, 0, 40], [0, 1, 60]], np.float32)
+    got = np.asarray(remap.extract_strips_banded(
+        jnp.asarray(img), jnp.asarray(frame[None]),
+        jnp.asarray([128], jnp.int32), th, out_w, 64, out_w + 8,
+        6, 255.0))
+    assert (got[0, :, :128] == img[60:60 + th, 40:40 + 128]).all()
+
+
+def test_extract_strips_banded_large_text_profile():
+    """Large text (band taller than the strip, xres < 1) takes the
+    K=128 profile and still matches the gather path."""
+    rng = np.random.default_rng(12)
+    H, W = 500, 700
+    img = rng.integers(0, 255, (H, W)).astype(np.uint8)
+    th, out_w = 48, 256
+    hv, res = remap.identity_grid(W, H)
+    frame, width = _strip_frame(60, 200, 300, 90)   # xres ~0.53
+    frames = frame[None]
+    widths = np.array([min(width, out_w)], np.int32)
+    ref = np.asarray(remap.extract_dewarped_strips(
+        jnp.asarray(img), jnp.asarray(hv), res, jnp.asarray(frames),
+        jnp.asarray(widths), th, out_w, 255.0, 0)).astype(float)
+    got = np.asarray(remap.extract_strips_banded(
+        jnp.asarray(img), jnp.asarray(frames), jnp.asarray(widths),
+        th, out_w, 128, 2 * out_w + 8, 6, 255.0)).astype(float)
+    d = np.abs(ref[0, :, :widths[0]] - got[0, :, :widths[0]])
+    assert d.max() <= 1.0
+
+
+def test_extract_profile_partition():
+    from origami_tpu.batch.core.lines import LineExtractor
+    th = 48
+    body, wb = _strip_frame(50, 100, 100, 20)
+    big, wg = _strip_frame(60, 200, 300, 90)
+    sheared, ws = _strip_frame(50, 100, 100, 20, slope=0.35)
+    dew = object()
+    assert LineExtractor._extract_profile(body, wb, th, dew) == "p1"
+    assert LineExtractor._extract_profile(big, wg, th, dew) == "p2"
+    assert LineExtractor._extract_profile(
+        sheared, ws, th, dew) == "gather"
+    assert LineExtractor._extract_profile(body, wb, th, None) == "gather"
+
+
+def test_extract_strips_banded_through_real_grid():
+    """Production semantics: the banded path samples the DEWARPED
+    canvas (one extra bilinear pass) where the gather path samples the
+    warped page through the inverse grid. On smooth content the double
+    resample stays within a few gray levels."""
+    from origami_tpu.core.dewarp import Grid, Dewarper
+    hv, res = _dewarp_test_grid()
+    g = Grid(hv, res)
+    img = _smooth_test_image(520, 370)
+    dew = Dewarper(jnp.asarray(img), g).dewarped_dev
+    th, out_w = 48, 256
+    frames, widths = zip(_strip_frame(80, 150, 100, 20),
+                         _strip_frame(120, 300, 90, 16))
+    frames = np.stack(frames)
+    widths = np.array([min(w, out_w) for w in widths], np.int32)
+    ref = np.asarray(remap.extract_dewarped_strips(
+        jnp.asarray(img), jnp.asarray(g.points("sample")), float(res),
+        jnp.asarray(frames), jnp.asarray(widths), th, out_w,
+        255.0, 0)).astype(float)
+    got = np.asarray(remap.extract_strips_banded(
+        dew, jnp.asarray(frames), jnp.asarray(widths),
+        th, out_w, 64, out_w + 8, 6, 255.0)).astype(float)
+    for i in range(len(widths)):
+        d = np.abs(ref[i, :, :widths[i]] - got[i, :, :widths[i]])
+        assert d.mean() <= 2.0 and np.percentile(d, 99) <= 8
+
+
+def test_extract_strips_banded_page_narrower_than_slab():
+    """A wide strip bucket's slab can exceed a small page; the padded
+    page must still fit the dynamic slice (regression: 600x400 test
+    page with a 768-wide bucket)."""
+    img = np.full((200, 150), 200, np.uint8)
+    img[100, 10:140] = 30
+    frame = np.array([[1, 0, 5], [0, 1, 90]], np.float32)
+    got = np.asarray(remap.extract_strips_banded(
+        jnp.asarray(img), jnp.asarray(frame[None]),
+        jnp.asarray([140], jnp.int32), 48, 768, 64, 776, 6, 255.0))
+    assert got.shape == (1, 48, 768)
+    assert (got[0, 10, 5:135] == 30).all()     # the dark row
+    assert (got[0, :, 140:] == 255).all()      # past width: fill
