@@ -457,14 +457,13 @@ class TextAreaFactory:
         # loop (text_area(i) vs j and text_area(j) vs i) — memoize the
         # symmetric answer; the polygon intersection behind it was
         # ~20% of the flow stage's host time
+        from origami_tpu.geometry.ops import interiors_overlap
         if i < 0:
-            inter = pi.intersection(pj)
-            return bool((not inter.is_empty) and inter.area > 0)
+            return interiors_overlap(pi, pj)
         key = (i, j) if i < j else (j, i)
         hit = self._overlaps.get(key)
         if hit is None:
-            inter = pi.intersection(pj)
-            hit = bool((not inter.is_empty) and inter.area > 0)
+            hit = interiors_overlap(pi, pj)
             self._overlaps[key] = hit
         return hit
 

@@ -98,6 +98,32 @@ def intersects(a, b):
     return _seg_intersections(sa, sb, bool_only=True)
 
 
+def interiors_overlap(a, b, eps=1e-9):
+    """True iff areal `a` and `b` overlap with POSITIVE area (touching
+    boundaries don't count). Vectorized predicate — equivalent to
+    `a.intersection(b).area > 0` but without building the overlay:
+    a vertex of one strictly inside the other decides nearly every
+    real layout pair; the exact intersection runs only for the rare
+    boundary-contact / transversal-cross-without-vertex cases."""
+    if a.is_empty or b.is_empty or a._bbox_disjoint(b):
+        return False
+    for p, q in ((a, b), (b, a)):
+        pts = _vertices_of(p)
+        if not len(pts):
+            continue
+        inside = _contains_points(q, pts)
+        if inside.any():
+            d = _points_to_segments_dist(pts[inside], _segments_of(q))
+            if len(d) and (d.min(axis=1) > eps).any():
+                return True
+    sa, sb = _segments_of(a), _segments_of(b)
+    if len(sa) == 0 or len(sb) == 0 \
+            or not _seg_intersections(sa, sb, bool_only=True):
+        return False
+    inter = overlay(a, b, "and")
+    return (not inter.is_empty) and getattr(inter, "area", 0.0) > 0
+
+
 def contains(a, b):
     ta = a.geom_type
     if ta not in _AREAL and ta != "GeometryCollection":
@@ -439,13 +465,17 @@ def _clip_line(line, poly, inside=True):
             for q in pts:
                 ts.append(float(np.clip((q - p0) @ d / L2, 0.0, 1.0)))
         ts = sorted(set(round(t, 12) for t in ts))
-        for t0, t1 in zip(ts[:-1], ts[1:]):
-            if t1 - t0 < 1e-12:
-                continue
-            tm = (t0 + t1) * 0.5
-            mid = p0 + tm * d
-            is_in = bool(_contains_points(poly, mid.reshape(1, 2))[0])
-            if is_in == inside:
+        spans = [(t0, t1) for t0, t1 in zip(ts[:-1], ts[1:])
+                 if t1 - t0 >= 1e-12]
+        if not spans:
+            continue
+        # one vectorized containment call for ALL span midpoints (a
+        # per-span call was ~half of extend_baseline's host time)
+        mids = p0[None, :] + np.array(
+            [(t0 + t1) * 0.5 for t0, t1 in spans])[:, None] * d[None, :]
+        ins = _contains_points(poly, mids)
+        for (t0, t1), is_in in zip(spans, ins):
+            if bool(is_in) == inside:
                 a = p0 + t0 * d
                 b = p0 + t1 * d
                 if cur and np.linalg.norm(np.array(cur[-1]) - a) < 1e-9:

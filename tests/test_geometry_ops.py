@@ -63,3 +63,23 @@ def test_mask_extract():
     assert origin == (1, 1)
     assert crop[0, 0] == img[1, 1]        # inside
     assert crop[-1, -1] == 0              # outside -> background
+
+
+def test_interiors_overlap_predicate():
+    from origami_tpu import geometry as G
+    from origami_tpu.geometry.ops import interiors_overlap
+    box = lambda x0, y0, x1, y1: G.box(x0, y0, x1, y1)
+    a = box(0, 0, 10, 10)
+    assert interiors_overlap(a, box(5, 5, 15, 15))        # proper
+    assert not interiors_overlap(a, box(10, 0, 20, 10))   # edge touch
+    assert not interiors_overlap(a, box(10, 10, 20, 20))  # corner touch
+    assert not interiors_overlap(a, box(20, 20, 30, 30))  # disjoint
+    assert interiors_overlap(a, box(2, 2, 8, 8))          # containment
+    # plus-sign: transversal crossing with no vertex inside either
+    horiz = box(-5, 4, 15, 6)
+    assert interiors_overlap(a, horiz)
+    # concave subject overlapping only in one arm
+    concave = G.Polygon([(0, 0), (30, 0), (30, 30), (20, 30),
+                         (20, 10), (10, 10), (10, 30), (0, 30)])
+    assert interiors_overlap(concave, box(22, 20, 28, 40))
+    assert not interiors_overlap(concave, box(12, 20, 18, 30))  # notch
