@@ -18,6 +18,7 @@ import flax.linen as nn
 
 class BiLSTM(nn.Module):
     features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, lengths):
@@ -27,9 +28,12 @@ class BiLSTM(nn.Module):
         # padding the compile bucket adds (not bucket-invariant, and
         # device-batched strips would decode differently than
         # host-bucketed ones).
-        fwd = nn.RNN(nn.OptimizedLSTMCell(self.features))(
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.features,
+                                          dtype=self.dtype))(
             x, seq_lengths=lengths)
-        bwd = nn.RNN(nn.OptimizedLSTMCell(self.features), reverse=True,
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.features,
+                                          dtype=self.dtype),
+                     reverse=True,
                      keep_order=True)(x, seq_lengths=lengths)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
@@ -78,6 +82,12 @@ class LineRecognizer(nn.Module):
     conv_features: Sequence[int] = (64, 128, 256)
     lstm_features: int = 256
     dtype: jnp.dtype = jnp.bfloat16
+    # recurrent compute dtype — a SERVING-time numeric mode (param
+    # names/shapes and checkpoints are dtype-independent). bfloat16
+    # runs the LSTM gate matmuls at the MXU's native rate (~4x f32 on
+    # v5e); the carry accumulates in bf16 too, so enable only after a
+    # CER A/B on the target corpus (scripts/perf_ocr_breakdown.py).
+    lstm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, widths=None):
@@ -106,16 +116,18 @@ class LineRecognizer(nn.Module):
         # collapse the remaining height into features: (B, T, H'*C)
         b, hh, ww, cc = x.shape
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, ww, hh * cc)
-        x = x.astype(jnp.float32)
+        x = x.astype(self.lstm_dtype)
         if widths is not None:
             t_len = jnp.clip(jnp.ceil(widths / time_stride)
                              .astype(jnp.int32), 1, ww)
         else:
             t_len = jnp.full((b,), ww, jnp.int32)
-        x = BiLSTM(self.lstm_features)(x, t_len)
-        x = nn.Dense(self.lstm_features)(x)
+        x = BiLSTM(self.lstm_features, dtype=self.lstm_dtype)(x, t_len)
+        x = nn.Dense(self.lstm_features, dtype=self.lstm_dtype)(x)
         x = nn.gelu(x)
-        logits = nn.Dense(self.num_symbols + 1)(x)   # blank at index 0
+        logits = nn.Dense(self.num_symbols + 1,
+                          dtype=self.lstm_dtype)(x)   # blank at index 0
+        logits = logits.astype(jnp.float32)
         pad = (jnp.arange(ww)[None, :] >= t_len[:, None]) \
             .astype(jnp.float32)
         return logits, pad
@@ -126,10 +138,12 @@ class LineRecognizer(nn.Module):
 
 
 def create_recognizer(num_symbols, dtype=jnp.bfloat16,
-                      conv_features=(64, 128, 256), lstm_features=256):
+                      conv_features=(64, 128, 256), lstm_features=256,
+                      lstm_dtype=jnp.float32):
     return LineRecognizer(num_symbols=num_symbols, dtype=dtype,
                           conv_features=tuple(conv_features),
-                          lstm_features=lstm_features)
+                          lstm_features=lstm_features,
+                          lstm_dtype=lstm_dtype)
 
 
 def init_recognizer(model, rng, height=48, width=256):

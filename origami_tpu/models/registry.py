@@ -63,11 +63,18 @@ def _build(meta):
                            features=meta.get("features"),
                            bottleneck=meta.get("bottleneck"))
     if meta["kind"] == "recognizer":
+        import os
+        # serving-time recurrent compute dtype: env override wins,
+        # then checkpoint meta, then f32. Param trees are identical
+        # across dtypes — this never invalidates a checkpoint.
+        ld = os.environ.get("ORIGAMI_TPU_LSTM_DTYPE",
+                            meta.get("lstm_dtype", "float32"))
         return create_recognizer(
             len(meta["charset"]),
             conv_features=tuple(meta.get("conv_features",
                                          (64, 128, 256))),
-            lstm_features=meta.get("lstm_features", 256))
+            lstm_features=meta.get("lstm_features", 256),
+            lstm_dtype=jnp.dtype(ld))
     raise ValueError("unknown model kind %r" % meta.get("kind"))
 
 

@@ -139,3 +139,28 @@ def test_recognizer_predictor_beam(tmp_path):
     assert len(texts) == 3
     assert all(isinstance(t, str) for t in texts)
     assert all(0 <= c <= 1.001 for c in confs)
+
+
+def test_recognizer_lstm_dtype_serving_mode():
+    """bfloat16 recurrent compute is a serving-time numeric mode: the
+    param tree is dtype-independent (checkpoints interchangeable) and
+    logits stay within bf16 rounding of the f32 path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from origami_tpu.models.recognizer import (create_recognizer,
+                                               init_recognizer)
+    m32 = create_recognizer(30, lstm_dtype=jnp.float32)
+    mbf = create_recognizer(30, lstm_dtype=jnp.bfloat16)
+    params = init_recognizer(m32, jax.random.PRNGKey(0))
+    tree32 = jax.tree.map(lambda a: (a.shape, str(a.dtype)), params)
+    treebf = jax.tree.map(lambda a: (a.shape, str(a.dtype)),
+                          init_recognizer(mbf, jax.random.PRNGKey(0)))
+    assert tree32 == treebf
+    x = jnp.asarray(np.random.default_rng(0).random((2, 48, 128, 1)),
+                    jnp.float32)
+    w = jnp.asarray([100.0, 128.0])
+    l32, _ = m32.apply({"params": params}, x, w)
+    lbf, _ = mbf.apply({"params": params}, x, w)
+    assert l32.dtype == lbf.dtype == jnp.float32
+    assert np.abs(np.asarray(l32) - np.asarray(lbf)).max() < 0.05
