@@ -23,8 +23,10 @@ extern "C" {
 // ---------------------------------------------------------------------------
 // concave hull
 // ---------------------------------------------------------------------------
-
-struct Edge { int a, b; };
+// Same performance class as the reference's r-tree concaveman
+// (origami/concaveman): a static k-d tree answers nearest-unused-point-
+// to-edge queries in O(log n), and edges are dug longest-first off a
+// priority queue in a single pass (no O(rounds * E * n) re-scan).
 
 static inline double seg_dist(double px, double py, double ax, double ay,
                               double bx, double by) {
@@ -38,6 +40,153 @@ static inline double seg_dist(double px, double py, double ax, double ay,
     return std::sqrt(dx * dx + dy * dy);
 }
 
+namespace {
+
+struct KDNode {
+    double minx, miny, maxx, maxy;
+    int left, right;      // children, or -1
+    int begin, end;       // leaf: range in perm
+};
+
+struct KDTree {
+    const double* pts;
+    std::vector<int> perm;
+    std::vector<KDNode> nodes;
+
+    int build(int begin, int end, int axis) {
+        KDNode nd;
+        nd.minx = nd.miny = 1e30; nd.maxx = nd.maxy = -1e30;
+        for (int i = begin; i < end; i++) {
+            double x = pts[2 * perm[i]], y = pts[2 * perm[i] + 1];
+            nd.minx = std::min(nd.minx, x); nd.maxx = std::max(nd.maxx, x);
+            nd.miny = std::min(nd.miny, y); nd.maxy = std::max(nd.maxy, y);
+        }
+        nd.begin = begin; nd.end = end; nd.left = nd.right = -1;
+        int id = (int)nodes.size();
+        nodes.push_back(nd);
+        if (end - begin > 8) {
+            int mid = (begin + end) / 2;
+            std::nth_element(
+                perm.begin() + begin, perm.begin() + mid,
+                perm.begin() + end, [&](int a, int b) {
+                    return pts[2 * a + axis] < pts[2 * b + axis];
+                });
+            int l = build(begin, mid, 1 - axis);
+            int r = build(mid, end, 1 - axis);
+            nodes[id].left = l;
+            nodes[id].right = r;
+        }
+        return id;
+    }
+
+    // exact distance from segment (a, b) to the node's bbox (0 when the
+    // segment touches the box) — tight pruning bound for the query
+    static double seg_box_dist(double ax, double ay, double bx, double by,
+                               const KDNode& nd) {
+        // segment endpoint inside box -> 0
+        auto inside = [&](double x, double y) {
+            return x >= nd.minx && x <= nd.maxx &&
+                   y >= nd.miny && y <= nd.maxy;
+        };
+        if (inside(ax, ay) || inside(bx, by)) return 0.0;
+        double best = 1e30;
+        // box corners to segment
+        const double cx[4] = {nd.minx, nd.maxx, nd.maxx, nd.minx};
+        const double cy[4] = {nd.miny, nd.miny, nd.maxy, nd.maxy};
+        for (int k = 0; k < 4; k++) {
+            best = std::min(best, seg_dist(cx[k], cy[k], ax, ay, bx, by));
+            // box edge k -> k+1 vs segment endpoints
+            int j = (k + 1) & 3;
+            best = std::min(best, seg_dist(ax, ay, cx[k], cy[k], cx[j], cy[j]));
+            best = std::min(best, seg_dist(bx, by, cx[k], cy[k], cx[j], cy[j]));
+        }
+        // crossing segments: if the segment crosses a box edge, distance
+        // is 0 — covered by corner/endpoint distances unless a true
+        // transversal crossing; test orientation signs cheaply
+        auto cross = [](double ox, double oy, double ux, double uy,
+                        double vx, double vy) {
+            return (ux - ox) * (vy - oy) - (uy - oy) * (vx - ox);
+        };
+        for (int k = 0; k < 4; k++) {
+            int j = (k + 1) & 3;
+            double d1 = cross(ax, ay, bx, by, cx[k], cy[k]);
+            double d2 = cross(ax, ay, bx, by, cx[j], cy[j]);
+            double d3 = cross(cx[k], cy[k], cx[j], cy[j], ax, ay);
+            double d4 = cross(cx[k], cy[k], cx[j], cy[j], bx, by);
+            if (((d1 > 0) != (d2 > 0)) && ((d3 > 0) != (d4 > 0)))
+                return 0.0;
+        }
+        return best;
+    }
+
+};
+
+// incremental nearest-neighbor traversal: yields points in increasing
+// distance-to-segment order (kd nodes and points share one best-first
+// queue keyed by lower-bound distance)
+struct NNEntry {
+    double d;
+    int node;       // kd node id, or -1 when a concrete point
+    int point;
+    bool operator<(const NNEntry& o) const { return d > o.d; }  // min-heap
+};
+
+struct SegNN {
+    const KDTree& tree;
+    double ax, ay, bx, by;
+    const std::vector<char>& used;
+    std::priority_queue<NNEntry> q;
+
+    SegNN(const KDTree& t, double ax_, double ay_, double bx_, double by_,
+          const std::vector<char>& used_)
+        : tree(t), ax(ax_), ay(ay_), bx(bx_), by(by_), used(used_) {
+        q.push({KDTree::seg_box_dist(ax, ay, bx, by, tree.nodes[0]), 0, -1});
+    }
+
+    // next unused point, or -1; *out_d gets its distance to the segment
+    int next(double* out_d) {
+        while (!q.empty()) {
+            NNEntry e = q.top();
+            q.pop();
+            if (e.node < 0) { *out_d = e.d; return e.point; }
+            const KDNode& nd = tree.nodes[e.node];
+            if (nd.left < 0) {
+                for (int i = nd.begin; i < nd.end; i++) {
+                    int p = tree.perm[i];
+                    if (used[p]) continue;
+                    double d = seg_dist(tree.pts[2 * p], tree.pts[2 * p + 1],
+                                        ax, ay, bx, by);
+                    q.push({d, -1, p});
+                }
+            } else {
+                q.push({KDTree::seg_box_dist(ax, ay, bx, by,
+                                             tree.nodes[nd.left]),
+                        nd.left, -1});
+                q.push({KDTree::seg_box_dist(ax, ay, bx, by,
+                                             tree.nodes[nd.right]),
+                        nd.right, -1});
+            }
+        }
+        return -1;
+    }
+};
+
+static inline bool segs_intersect(double p0x, double p0y, double p1x,
+                                  double p1y, double q0x, double q0y,
+                                  double q1x, double q1y) {
+    auto orient = [](double ox, double oy, double ux, double uy,
+                     double vx, double vy) {
+        return (ux - ox) * (vy - oy) - (uy - oy) * (vx - ox);
+    };
+    double d1 = orient(p0x, p0y, p1x, p1y, q0x, q0y);
+    double d2 = orient(p0x, p0y, p1x, p1y, q1x, q1y);
+    double d3 = orient(q0x, q0y, q1x, q1y, p0x, p0y);
+    double d4 = orient(q0x, q0y, q1x, q1y, p1x, p1y);
+    return ((d1 > 0) != (d2 > 0)) && ((d3 > 0) != (d4 > 0));
+}
+
+}  // namespace
+
 // points: (n, 2) doubles; hull_idx: convex hull vertex indices (ccw);
 // out_idx: result ring indices; returns ring length (<= max_out) or -1.
 int concave_hull(const double* pts, int n,
@@ -45,62 +194,108 @@ int concave_hull(const double* pts, int n,
                  double concavity, double length_threshold,
                  int* out_idx, int max_out) {
     if (n < 4 || hull_n < 3) return -1;
-    std::vector<Edge> edges;
-    edges.reserve(n);
+
+    KDTree tree;
+    tree.pts = pts;
+    tree.perm.resize(n);
+    for (int i = 0; i < n; i++) tree.perm[i] = i;
+    tree.nodes.reserve(2 * (n / 4 + 2));
+    tree.build(0, n, 0);
+
+    // ring of vertices as a doubly-linked list; edge i runs
+    // vert[i] -> vert[nxt[i]]
+    std::vector<int> vert, nxt, prv;
+    vert.reserve(max_out + 4);
+    nxt.reserve(max_out + 4);
+    prv.reserve(max_out + 4);
     std::vector<char> used(n, 0);
+    std::vector<int> fifo;          // edges to (re)examine, by ring node id
+    fifo.reserve(4 * max_out);
+
     for (int i = 0; i < hull_n; i++) {
-        edges.push_back({hull_idx[i], hull_idx[(i + 1) % hull_n]});
+        vert.push_back(hull_idx[i]);
+        nxt.push_back((i + 1) % hull_n);
+        prv.push_back((i + hull_n - 1) % hull_n);
         used[hull_idx[i]] = 1;
+        fifo.push_back(i);
     }
-    bool changed = true;
-    int rounds = 0;
-    while (changed && rounds++ < 1024) {
-        changed = false;
-        std::vector<Edge> next;
-        next.reserve(edges.size() + 8);
-        for (size_t ei = 0; ei < edges.size(); ei++) {
-            const Edge e = edges[ei];
-            double ax = pts[2 * e.a], ay = pts[2 * e.a + 1];
-            double bx = pts[2 * e.b], by = pts[2 * e.b + 1];
-            double elen = std::hypot(bx - ax, by - ay);
-            if (elen < length_threshold) { next.push_back(e); continue; }
-            // nearest unused point to this edge
-            int best = -1; double bestd = 1e30;
-            for (int p = 0; p < n; p++) {
-                if (used[p]) continue;
-                double d = seg_dist(pts[2 * p], pts[2 * p + 1],
-                                    ax, ay, bx, by);
-                if (d < bestd) { bestd = d; best = p; }
+
+    auto px = [&](int ringnode) { return pts[2 * vert[ringnode]]; };
+    auto py = [&](int ringnode) { return pts[2 * vert[ringnode] + 1]; };
+
+    int ring_size = hull_n;
+    size_t head = 0;
+    while (head < fifo.size() && ring_size < max_out) {
+        int ib = fifo[head++];                  // edge b -> c
+        int ic = nxt[ib], ia = prv[ib], id_ = nxt[ic];
+        double bxp = px(ib), byp = py(ib), cxp = px(ic), cyp = py(ic);
+        double elen = std::hypot(cxp - bxp, cyp - byp);
+        if (elen < length_threshold) continue;
+        double max_d = elen / std::max(concavity, 1e-9);
+
+        // candidates in increasing distance-to-edge order, stopping at
+        // the concavity bound; accept the first that is closer to this
+        // edge than to its ring neighbors and whose insertion keeps the
+        // ring simple
+        SegNN nn(tree, bxp, byp, cxp, cyp, used);
+        int pick = -1;
+        for (int tries = 0; tries < 64; tries++) {
+            double dd;
+            int p = nn.next(&dd);
+            if (p < 0 || dd >= max_d) break;
+            double qx = pts[2 * p], qy = pts[2 * p + 1];
+            // closer to this edge than to the adjacent ring edges
+            // (prevents spiraling digs, reference concaveman criterion);
+            // the tolerance admits grid-aligned ties, which contour
+            // point sets produce constantly
+            double tol = 1e-9 * (1.0 + dd);
+            if (dd > tol + seg_dist(qx, qy, px(ia), py(ia), bxp, byp))
+                continue;
+            if (dd > tol + seg_dist(qx, qy, cxp, cyp, px(id_), py(id_)))
+                continue;
+            // (b, p) and (p, c) must not cross any existing ring edge;
+            // cheap bbox reject per edge
+            double minx = std::min({bxp, cxp, qx});
+            double maxx = std::max({bxp, cxp, qx});
+            double miny = std::min({byp, cyp, qy});
+            double maxy = std::max({byp, cyp, qy});
+            bool crosses = false;
+            for (int j = 0; j < (int)vert.size() && !crosses; j++) {
+                int jn = nxt[j];
+                double ux = px(j), uy = py(j), vx2 = px(jn), vy2 = py(jn);
+                if (std::max(ux, vx2) < minx || std::min(ux, vx2) > maxx ||
+                    std::max(uy, vy2) < miny || std::min(uy, vy2) > maxy)
+                    continue;
+                if (j != ia && j != ib &&
+                    segs_intersect(bxp, byp, qx, qy, ux, uy, vx2, vy2))
+                    crosses = true;
+                if (j != ib && j != ic &&
+                    segs_intersect(qx, qy, cxp, cyp, ux, uy, vx2, vy2))
+                    crosses = true;
             }
-            bool dig = false;
-            if (best >= 0 && elen / std::max(bestd, 1e-9) > concavity) {
-                // closer-to-this-edge-than-any-other constraint
-                double other = 1e30;
-                double cx = pts[2 * best], cy = pts[2 * best + 1];
-                for (size_t ej = 0; ej < edges.size(); ej++) {
-                    if (ej == ei) continue;
-                    const Edge& o = edges[ej];
-                    double d = seg_dist(
-                        cx, cy, pts[2 * o.a], pts[2 * o.a + 1],
-                        pts[2 * o.b], pts[2 * o.b + 1]);
-                    if (d < other) other = d;
-                }
-                if (bestd <= other + 1e-9) dig = true;
-            }
-            if (dig) {
-                next.push_back({e.a, best});
-                next.push_back({best, e.b});
-                used[best] = 1;
-                changed = true;
-            } else {
-                next.push_back(e);
-            }
+            if (!crosses) { pick = p; break; }
         }
-        edges.swap(next);
-        if ((int)edges.size() >= max_out) break;
+        if (pick < 0) continue;
+        // dig: insert `pick` between ib and ic, re-examine both halves
+        int im = (int)vert.size();
+        vert.push_back(pick);
+        nxt.push_back(ic);
+        prv.push_back(ib);
+        nxt[ib] = im;
+        prv[ic] = im;
+        used[pick] = 1;
+        ring_size++;
+        fifo.push_back(ib);
+        fifo.push_back(im);
     }
-    int m = std::min((int)edges.size(), max_out);
-    for (int i = 0; i < m; i++) out_idx[i] = edges[i].a;
+
+    // emit the ring in order
+    int m = 0, cur = 0;
+    do {
+        if (m >= max_out) break;
+        out_idx[m++] = vert[cur];
+        cur = nxt[cur];
+    } while (cur != 0 && m <= (int)vert.size());
     return m;
 }
 

@@ -27,6 +27,26 @@ def test_native_concave_hull_matches_python_shape():
 
 
 @requires_native
+def test_native_concave_hull_large_set_fast():
+    # performance class: the k-d tree + FIFO dig must stay near-linear;
+    # the old O(rounds * E * n) scan took minutes on this input
+    import time
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(0, 1000, size=(30000, 2))
+    pts = pts[~(((pts[:, 0] % 200) < 100) & (pts[:, 1] > 300))]
+    t0 = time.perf_counter()
+    ring = nb.concave_hull_native(pts, 2.0, 0.0)
+    dt = time.perf_counter() - t0
+    assert ring is not None and len(ring) >= 100
+    assert dt < 5.0, dt
+    from origami_tpu import geometry as G
+    poly = G.Polygon(ring)
+    assert poly.is_valid
+    # hull digs the 100-px-wide slots: well under the convex area
+    assert poly.area < 0.93 * 1000 * 1000
+
+
+@requires_native
 def test_native_trace_skeleton():
     sk = np.zeros((20, 40), np.uint8)
     sk[10, 2:38] = 1                     # straight line
