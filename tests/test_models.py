@@ -116,6 +116,30 @@ def test_registry_roundtrip(tmp_path):
     assert probs.shape == (1, 48, 64, 4)
 
 
+def test_registry_float16_storage(tmp_path):
+    # checked-in pretrained models are stored f16 (half the repo bytes);
+    # load_model must restore an f32 tree numerically ~equal to f32 save
+    meta = registry.default_segmentation_meta(
+        "region", full_size=(64, 96), tile_size=(64, 48), width=0.125,
+        s2d=2)
+    params = registry.init_and_save(tmp_path / "f32", meta)
+    registry.save_model(tmp_path / "f16", meta, params,
+                        params_dtype="float16")
+    s32 = (tmp_path / "f32" / "params.msgpack").stat().st_size
+    s16 = (tmp_path / "f16" / "params.msgpack").stat().st_size
+    assert s16 < 0.6 * s32
+    model, p16, meta2 = registry.load_model(tmp_path / "f16")
+    assert meta2["params_dtype"] == "float16"
+    flat32 = jax.tree_util.tree_leaves(params)
+    flat16 = jax.tree_util.tree_leaves(p16)
+    for a, b in zip(flat32, flat16):
+        assert b.dtype == a.dtype
+        assert jnp.max(jnp.abs(a - b)) < 2e-3
+    x = jnp.zeros((1, 48, 64, 1))
+    out = model.apply({"params": p16}, x)
+    assert out.shape == (1, 48, 64, 4)
+
+
 def test_width_buckets():
     b = recognizer.width_buckets([100, 300, 2000, 5000])
     assert b[0] >= 100 and b[1] >= 300 and b[3] == 2048
