@@ -497,6 +497,53 @@ def _clip_line(line, poly, inside=True):
 # constructive ops
 # ---------------------------------------------------------------------------
 
+def _polyline_buffer_fast(coords, dist, miter_limit=2.5):
+    """Exact miter-offset buffer of an open polyline: square caps,
+    miter joins (bevel past `miter_limit`). Returns a simple Polygon or
+    None when the offset self-intersects (sharp inner corners with
+    dist > segment length) — callers fall back to the raster buffer.
+    ~100x cheaper than rasterize/dilate/vectorize for the nearly
+    straight linework (separators) this is hot for."""
+    c = np.asarray(coords, dtype=np.float64)
+    if len(c) < 2:
+        return None
+    d = np.diff(c, axis=0)
+    ln = np.hypot(d[:, 0], d[:, 1])
+    keep = ln > 1e-9
+    if not keep.all():
+        if not keep.any():
+            return None
+        c = np.vstack([c[:1], c[1:][keep]])
+        d = np.diff(c, axis=0)
+        ln = np.hypot(d[:, 0], d[:, 1])
+    t = d / ln[:, None]
+    nrm = np.c_[-t[:, 1], t[:, 0]]
+    left, right = [], []
+    p0 = c[0] - t[0] * dist                       # square start cap
+    left.append(p0 + nrm[0] * dist)
+    right.append(p0 - nrm[0] * dist)
+    for i in range(1, len(t)):
+        p = c[i]
+        for side, out in ((1.0, left), (-1.0, right)):
+            n0, n1 = side * nrm[i - 1], side * nrm[i]
+            m = n0 + n1
+            m2 = float(m @ m)
+            if m2 < 1e-12:                        # 180-degree turn
+                return None
+            m = m / np.sqrt(m2)
+            scale = 1.0 / max(float(m @ n1), 1e-9)
+            if scale > miter_limit:               # bevel
+                out.append(p + n0 * dist)
+                out.append(p + n1 * dist)
+            else:
+                out.append(p + m * (dist * scale))
+    pn = c[-1] + t[-1] * dist                     # square end cap
+    left.append(pn + nrm[-1] * dist)
+    right.append(pn - nrm[-1] * dist)
+    poly = Polygon(np.vstack(left + right[::-1]))
+    return poly if poly.is_valid else None
+
+
 def buffer(geom, dist, resolution=16):
     if geom.is_empty:
         return GEOMETRY_EMPTY
@@ -504,6 +551,14 @@ def buffer(geom, dist, resolution=16):
         if geom.geom_type in _AREAL:
             return make_valid(geom)
         return geom
+    if dist > 0 and geom.geom_type in ("LineString", "MultiLineString"):
+        parts = geom.geoms if geom.geom_type == "MultiLineString" \
+            else (geom,)
+        polys = [_polyline_buffer_fast(p._c, dist) for p in parts]
+        if all(p is not None for p in polys):
+            if len(polys) == 1:
+                return polys[0]
+            return MultiPolygon(polys)
     return _raster.raster_buffer(geom, dist)
 
 

@@ -112,6 +112,30 @@ def test_buffer():
     assert lb.area == pytest.approx(20 + np.pi, rel=0.15)
 
 
+def test_polyline_buffer_fast():
+    # near-straight polyline (the hot separator-obstacle case) takes
+    # the exact miter path: area matches square-cap offset exactly
+    from origami_tpu.geometry import ops
+    line = G.LineString([(0, 0), (100, 0)])
+    b = ops.buffer(line, 3.0)
+    assert b.geom_type == "Polygon" and b.is_valid
+    assert b.area == pytest.approx((100 + 6) * 6, rel=1e-9)
+    # every point of the source line is covered
+    pts = np.c_[np.linspace(0, 100, 50), np.zeros(50)]
+    assert b.contains_points(pts).all()
+    # gentle bend: still one valid polygon covering the line
+    bend = G.LineString([(0, 0), (100, 2), (200, -1), (300, 0.5)])
+    b2 = ops.buffer(bend, 3.0)
+    assert b2.geom_type == "Polygon" and b2.is_valid
+    # sharp hairpin exceeds the offset regime -> miter path declines,
+    # raster fallback still returns a covering polygon
+    hairpin = G.LineString([(0, 0), (50, 0), (10, 5)])
+    assert ops._polyline_buffer_fast(
+        np.array(hairpin.coords, float), 3.0) is None
+    b3 = ops.buffer(hairpin, 3.0)
+    assert b3.contains_points([[25, 0], [30, 3]]).all()
+
+
 def test_simplify():
     t = np.linspace(0, 2 * np.pi, 200)
     circle = G.Polygon(np.c_[np.cos(t[:-1]) * 50 + 60, np.sin(t[:-1]) * 50 + 60])
