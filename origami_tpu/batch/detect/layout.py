@@ -229,19 +229,44 @@ class RegionState:
             out.extend(self.sources(x))
         return out
 
+    @cached_property
+    def _line_heights_by_block(self):
+        """Dewarped height of every warped line, computed in ONE
+        batched Newton grid inversion (line_heights is consulted for
+        every candidate region pair; per-line transformer_points calls
+        were ~0.1 s/page of layout host time)."""
+        blocks, lines = [], []
+        for k, ls in self.warped_lines_by_block.items():
+            for line in ls:
+                blocks.append(k)
+                lines.append(line)
+        if not lines:
+            return {}
+        if self._grid is None:
+            heights = [line.height for line in lines]
+        else:
+            pts = np.empty((2 * len(lines), 2))
+            for i, line in enumerate(lines):
+                pts[2 * i] = line.p
+                pts[2 * i + 1] = line.p + line.up
+            mapped = self._grid.transformer_points(pts)
+            d = mapped[1::2] - mapped[0::2]
+            heights = np.hypot(d[:, 0], d[:, 1])
+        out = collections.defaultdict(list)
+        for k, h in zip(blocks, heights):
+            out[k].append(float(h))
+        return dict(out)
+
     def line_heights(self, path):
         heights = []
         for src in self.sources(path):
-            for line in self.warped_lines_by_block.get(src, []):
-                heights.append(line.dewarped_height(self._grid))
+            heights.extend(self._line_heights_by_block.get(src, ()))
         return heights
 
     @cached_property
     def median_line_height(self):
-        hs = []
-        for lines in self.warped_lines_by_block.values():
-            for line in lines:
-                hs.append(line.dewarped_height(self._grid))
+        hs = [h for heights in self._line_heights_by_block.values()
+              for h in heights]
         return max(6, int(np.median(hs))) if hs else 16
 
     # -- mutation ----------------------------------------------------------

