@@ -33,12 +33,25 @@ def _segments_of(geom):
         segs = [l.segments for l in geom.geoms]
         return np.vstack(segs) if segs else np.zeros((0, 4))
     if t == "Polygon":
-        rings = [geom.exterior.segments] + [h.segments for h in geom.interiors]
-        return np.vstack(rings)
+        # memoized: geometries are immutable by convention, and the
+        # lines stage clips one probe per detected line against the
+        # SAME text-area polygon (rebuilding the segment array was
+        # ~half of _clip_line's host time)
+        memo = getattr(geom, "_segs_memo", None)
+        if memo is None:
+            rings = [geom.exterior.segments] \
+                + [h.segments for h in geom.interiors]
+            memo = np.vstack(rings)
+            geom._segs_memo = memo
+        return memo
     if t in ("MultiPolygon", "GeometryCollection"):
-        segs = [_segments_of(g) for g in geom.geoms]
-        segs = [s for s in segs if len(s)]
-        return np.vstack(segs) if segs else np.zeros((0, 4))
+        memo = getattr(geom, "_segs_memo", None)
+        if memo is None:
+            segs = [_segments_of(g) for g in geom.geoms]
+            segs = [s for s in segs if len(s)]
+            memo = np.vstack(segs) if segs else np.zeros((0, 4))
+            geom._segs_memo = memo
+        return memo
     if t == "Point":
         c = np.array([[geom.x, geom.y, geom.x, geom.y]])
         return c
