@@ -237,20 +237,58 @@ class RecognizerPredictor:
         confs = [0.0] * n
         if n == 0:
             return texts, confs
-        widths = [s.shape[1] for _, s in strips]
-        buckets = self._width_buckets(widths)
+        from origami_tpu.models.recognizer import strip_width_bucket
+        # the SAME 256-px width ladder and batch-size ladder the device
+        # path uses and warm_buckets compiles — the host path once
+        # bucketed through a separate x1.5 ladder at nb=8, so a single
+        # host-routed line minted an unwarmed LSTM compile (minutes via
+        # the remote compiler) in the middle of a timed pass
+        buckets = [strip_width_bucket(s.shape[1]) for _, s in strips]
         groups = {}
         for i, b in enumerate(buckets):
             groups.setdefault(b, []).append(i)
         for bucket, idxs in groups.items():
             for start in range(0, len(idxs), self._batch_size):
                 part = idxs[start: start + self._batch_size]
-                # pad the batch axis to a static ladder: a distinct
-                # batch size is a fresh LSTM jit compile (minutes over
-                # the remote-compile tunnel), so partial batches must
-                # not mint new graphs
-                nb = min(b for b in {8, 32, self._batch_size}
+                # pad the batch axis to the warmed static ladder: a
+                # distinct batch size is a fresh LSTM jit compile
+                # (minutes over the remote-compile tunnel), so partial
+                # batches must not mint new graphs
+                nb = min(b for b in {32, 64, self._batch_size}
                          if b >= len(part))
+                if self._decoder == "greedy":
+                    # reuse the warmed fused device graph
+                    # (recognize_u8): same (nb, H, bucket) uint8 shapes
+                    # warm_buckets compiled — the host path mints NO
+                    # graphs of its own in production
+                    u8 = np.full((nb, self.line_height, bucket),
+                                 255, np.uint8)
+                    w = np.ones((nb,), np.float32)
+                    for j, i in enumerate(part):
+                        s = strips[i][1]
+                        if s.shape[1] > bucket:
+                            import cv2
+                            logging.warning(
+                                "line %s wider than max bucket "
+                                "(%d > %d px): downscaling",
+                                "/".join(map(str, strips[i][0])),
+                                s.shape[1], bucket)
+                            s = cv2.resize(
+                                s, (bucket, s.shape[0]),
+                                interpolation=cv2.INTER_AREA)
+                        sh = min(s.shape[0], self.line_height)
+                        u8[j, :sh, : s.shape[1]] = s[:sh]
+                        w[j] = s.shape[1]
+                    ids, lengths, conf = self._recognize_u8(
+                        self._params, jnp.asarray(u8), jnp.asarray(w))
+                    ids = np.asarray(ids)
+                    lengths = np.asarray(lengths)
+                    conf = np.asarray(conf)
+                    for j, i in enumerate(part):
+                        texts[i] = self._ctc.ids_to_text(
+                            ids[j], lengths[j], self._charset)
+                        confs[i] = float(conf[j])
+                    continue
                 x = np.zeros((nb, self.line_height, bucket, 1),
                              np.float32)
                 w = np.ones((nb,), np.float32)
@@ -267,29 +305,18 @@ class RecognizerPredictor:
                 else:
                     logits, pad = self._infer(
                         self._params, jnp.asarray(x), jnp.asarray(w))
-                if self._decoder == "beam":
-                    import jax
-                    logp = np.asarray(
-                        jax.nn.log_softmax(logits, axis=-1))
-                    pad_np = np.asarray(pad)
-                    for j, i in enumerate(part):
-                        T = int((pad_np[j] < 0.5).sum())
-                        text, score = self._ctc.beam_search_decode(
-                            logp[j, :T], self._charset,
-                            beam_width=self._beam_width)
-                        texts[i] = text
-                        confs[i] = float(np.exp(
-                            score / max(len(text), 1)))
-                else:
-                    ids, lengths, conf = self._ctc.greedy_decode(
-                        logits, pad)
-                    ids = np.asarray(ids)
-                    lengths = np.asarray(lengths)
-                    conf = np.asarray(conf)
-                    for j, i in enumerate(part):
-                        texts[i] = self._ctc.ids_to_text(
-                            ids[j], lengths[j], self._charset)
-                        confs[i] = float(conf[j])
+                import jax
+                logp = np.asarray(
+                    jax.nn.log_softmax(logits, axis=-1))
+                pad_np = np.asarray(pad)
+                for j, i in enumerate(part):
+                    T = int((pad_np[j] < 0.5).sum())
+                    text, score = self._ctc.beam_search_decode(
+                        logp[j, :T], self._charset,
+                        beam_width=self._beam_width)
+                    texts[i] = text
+                    confs[i] = float(np.exp(
+                        score / max(len(text), 1)))
         return texts, confs
 
 

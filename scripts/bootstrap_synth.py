@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--distill-steps", type=int, default=1200)
     ap.add_argument("--ocr-steps", type=int, default=4000)
     ap.add_argument("--ocr-pool", type=int, default=8000)
+    ap.add_argument("--ocr-seeds", type=int, default=1,
+                    help="train N recognizer seeds (recognizer, "
+                         "recognizer2, ...) for voting evaluation")
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--full-size", default="1280x2432")
     ap.add_argument("--phases", default="gen,seg,distill,ocr,eval")
@@ -91,6 +94,14 @@ def main():
             n_pool=args.ocr_pool)
         report["ocr_train_seconds"] = round(time.time() - t0, 1)
         save_report()
+        for extra in range(1, args.ocr_seeds):
+            t0 = time.time()
+            bootstrap.train_recognizer_synth(
+                work / ("recognizer%d" % (extra + 1)),
+                steps=args.ocr_steps, n_pool=args.ocr_pool, seed=extra)
+            report["ocr%d_train_seconds" % (extra + 1)] = \
+                round(time.time() - t0, 1)
+            save_report()
 
     if "eval" in phases:
         t0 = time.time()
@@ -108,6 +119,9 @@ def main():
                 work / "students", work / "val", target="speed")
         report["ocr"] = bootstrap.eval_recognizer(
             work / "recognizer", n=300)
+        if (work / "recognizer2" / "meta.json").exists():
+            report["ocr_seed2"] = bootstrap.eval_recognizer(
+                work / "recognizer2", n=300)
         report["eval_seconds"] = round(time.time() - t0, 1)
         save_report()
         logging.info("REPORT: %s", json.dumps(report, indent=2))
