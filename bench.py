@@ -77,6 +77,7 @@ def _find_trained_models():
     Returns (students_dir, recognizer_dir) or None."""
     root = os.environ.get("ORIGAMI_BENCH_MODELS")
     candidates = [Path(root)] if root else [
+        Path(__file__).parent / "work" / "bootstrap4",
         Path(__file__).parent / "work" / "bootstrap3",
         Path(__file__).parent / "work" / "bootstrap2",
         Path(__file__).parent / "work" / "bootstrap",

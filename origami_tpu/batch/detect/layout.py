@@ -264,6 +264,40 @@ class RegionState:
         return heights
 
     @cached_property
+    def _line_spans_by_block(self):
+        """Dewarped baseline x-extent of every warped line, in one
+        batched grid inversion — line-bridge evidence for the column
+        splitters: a whitespace column that the block's own text lines
+        read straight across is an aligned inter-word gap, not a
+        gutter (the residual 2.5% bad_text tail of COMPARE_r03)."""
+        blocks, lines = [], []
+        for k, ls in self.warped_lines_by_block.items():
+            for line in ls:
+                blocks.append(k)
+                lines.append(line)
+        if not lines:
+            return {}
+        pts = np.empty((2 * len(lines), 2))
+        for i, line in enumerate(lines):
+            pts[2 * i] = line.p
+            pts[2 * i + 1] = line.p + line.right
+        if self._grid is not None:
+            pts = self._grid.transformer_points(pts)
+        x0 = np.minimum(pts[0::2, 0], pts[1::2, 0])
+        x1 = np.maximum(pts[0::2, 0], pts[1::2, 0])
+        out = collections.defaultdict(list)
+        for k, a, b in zip(blocks, x0, x1):
+            out[k].append((float(a), float(b)))
+        return dict(out)
+
+    def line_spans(self, path):
+        """Dewarped (x0, x1) baseline extents of the block's lines."""
+        spans = []
+        for src in self.sources(path):
+            spans.extend(self._line_spans_by_block.get(src, ()))
+        return spans
+
+    @cached_property
     def median_line_height(self):
         hs = [h for heights in self._line_heights_by_block.values()
               for h in heights]
@@ -917,15 +951,30 @@ def _gutter_is_clear(crop, px, lh, halfwidth_frac=0.15, max_bridge=0.2,
     return float(np.median(gaps)) >= min_gap_frac * lh
 
 
+def _lines_bridge(spans, x, margin, max_frac=0.2):
+    """True iff more than ``max_frac`` of the block's detected baselines
+    read straight across the candidate split column ``x`` — i.e. their
+    dewarped x-extent covers [x-margin, x+margin]. Those lines would be
+    cut in half by the split; a genuine column gutter has (nearly) no
+    such lines, while an aligned inter-word whitespace column has them
+    on every text row (the bad_text tail of COMPARE_r03)."""
+    if not spans:
+        return False
+    n_bridge = sum(1 for x0, x1 in spans
+                   if x0 <= x - margin and x1 >= x + margin)
+    return n_bridge > max_frac * len(spans)
+
+
 class FixSpillOverH:
     """Split regions at detected whitespace columns."""
 
     def __init__(self, filters, split_detector=None, min_line_count=3,
-                 split_filter=None):
+                 split_filter=None, max_line_bridge=0.2):
         self._filter = RegionsFilter(filters)
         self._detector = split_detector or SplitDetector()
         self._min_line_count = min_line_count
         self._split_filter = split_filter or SplitFilter()
+        self._max_line_bridge = max_line_bridge
 
     def __call__(self, regions):
         binarized = regions.binarized
@@ -942,11 +991,15 @@ class FixSpillOverH:
             crop, (minx, miny) = _crop(binarized, contour)
             peaks, info = self._detector(crop, scale=lh)
             if len(peaks):
+                spans = regions.line_spans(k)
                 order = np.argsort(info["peak_heights"])[::-1]
                 for i in map(int, order):
                     if not _gutter_is_clear(crop, int(peaks[i]), lh):
                         continue
                     x = peaks[i] + minx
+                    if _lines_bridge(spans, x, margin=lh,
+                                     max_frac=self._max_line_bridge):
+                        continue
                     sep = G.LineString(
                         [[x, -1], [x, binarized.shape[0] + 1]])
                     splits.append((k, contour, sep, lh))

@@ -352,12 +352,16 @@ def train_recognizer_synth(out_dir, steps=2000, batch=64, height=48,
 def eval_recognizer(model_dir, n=200, seed=123_456, height=None,
                     decoder="greedy"):
     """Mean CER of the serving RecognizerPredictor on held-out synthetic
-    lines (seed-disjoint from training by construction)."""
+    lines (seed-disjoint from training by construction). ``model_dir``
+    may be a list of model dirs — the multi-model voting mode
+    (reference origami/batch/detect/ocr.py:33-67)."""
     from origami_tpu.batch.detect.ocr import RecognizerPredictor
     from origami_tpu.batch.utils.evaluate import cer
     from origami_tpu.train.synth import render_line
 
-    predictor = RecognizerPredictor([Path(model_dir)], decoder=decoder)
+    dirs = ([Path(d) for d in model_dir]
+            if isinstance(model_dir, (list, tuple)) else [Path(model_dir)])
+    predictor = RecognizerPredictor(dirs, decoder=decoder)
     h = height or predictor.line_height
     strips, texts = [], []
     for i in range(n):

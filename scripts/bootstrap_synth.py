@@ -122,6 +122,13 @@ def main():
         if (work / "recognizer2" / "meta.json").exists():
             report["ocr_seed2"] = bootstrap.eval_recognizer(
                 work / "recognizer2", n=300)
+            # the Calamari-style quality mode: 2-model voted beam vs
+            # single greedy (VERDICT r3 item 6)
+            report["ocr_voted_beam"] = bootstrap.eval_recognizer(
+                [work / "recognizer", work / "recognizer2"],
+                n=300, decoder="beam")
+            report["ocr_beam_single"] = bootstrap.eval_recognizer(
+                work / "recognizer", n=300, decoder="beam")
         report["eval_seconds"] = round(time.time() - t0, 1)
         save_report()
         logging.info("REPORT: %s", json.dumps(report, indent=2))

@@ -31,7 +31,7 @@ def repack(src, dst):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--src", default="work/bootstrap3")
+    ap.add_argument("--src", default="work/bootstrap4")
     ap.add_argument("--dst", default="models_pretrained")
     args = ap.parse_args()
     src = Path(args.src)
@@ -49,6 +49,10 @@ def main():
                     repack(member, dst / "students" / net)
                     break
     repack(src / "recognizer", dst / "recognizer")
+    # extra recognizer seeds (voting evaluation) ride along when present
+    for extra in sorted(src.glob("recognizer[0-9]*")):
+        if (extra / "meta.json").exists():
+            repack(extra, dst / extra.name)
     print("done: %s" % dst)
 
 

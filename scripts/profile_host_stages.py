@@ -26,6 +26,9 @@ def make_corpus(root, n_pages, seed):
 
 
 def main():
+    if os.environ.get("PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["PLATFORM"])
     import bench
     from origami_tpu.models import registry
     from origami_tpu.train.synth import CHARSET
