@@ -20,7 +20,7 @@ import numpy as np
 
 from origami_tpu.batch.core.processor import Processor
 from origami_tpu.batch.core.io import Artifact, Input, Output, Stage
-from origami_tpu.core.baselines import detect_baselines, extend_baseline
+from origami_tpu.core.baselines import detect_baselines
 from origami_tpu.core.block import Line, TextAreaFactory
 from origami_tpu.core.flow import Samples, separator_angle_samples
 from origami_tpu.core.math import Orientation
@@ -83,18 +83,20 @@ def detect_block_lines(page, regions, min_height=4, force_lines=False,
                for d in dets if not d.fake]
     page_band_h = float(np.median(heights)) if heights else 0.0
 
+    from origami_tpu.core.baselines import extend_baselines
     out = {}
     for path, (block, detections) in det_by_block.items():
         area = text_area(
             block, avoid_obstacles="TABULAR" not in tuple(path))
-        lines = []
-        for det in detections:
-            det = unclip_band(det, page_band_h)
-            p, right = extend_baseline(area, det.p, det.right, det.up)
-            lines.append(Line(
-                block, p=p, right=right, up=det.up,
-                tesseract_data=det.data, text_area=area))
-        out[path] = lines
+        dets = [unclip_band(det, page_band_h) for det in detections]
+        # one batched probe clip per block (extend_baselines) instead
+        # of one _clip_line per detected line
+        ext = extend_baselines(area, [(d.p, d.right, d.up)
+                                      for d in dets])
+        out[path] = [
+            Line(block, p=p, right=right, up=det.up,
+                 tesseract_data=det.data, text_area=area)
+            for det, (p, right) in zip(dets, ext)]
     return out
 
 

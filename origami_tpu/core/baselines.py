@@ -182,10 +182,24 @@ def detect_baselines(crop_binarized, origin=(0, 0), min_line_height=4,
     # for integer r, so band membership reduces to a per-column row range
     rs = np.round(shift).astype(np.int64)
 
-    # sheared row profile
-    yi = np.clip(np.arange(h)[:, None] + rs[None, :], 0, h - 1)
-    prof = np.bincount(yi.reshape(-1), weights=ink.reshape(-1),
-                       minlength=h)[:h]
+    # sheared row profile: group columns by their (few, small) integer
+    # shifts and add shifted column-sums — the (h, w) int64 index grid
+    # + bincount formulation allocated 16 bytes/pixel per crop and was
+    # detect_baselines' hottest block
+    prof = np.zeros(h, np.float64)
+    for s in np.unique(rs):
+        colsum = ink[:, rs == s].sum(axis=1)
+        s = int(s)
+        if s == 0:
+            prof += colsum
+        elif s > 0:                      # rows clipped into h-1
+            s = min(s, h)
+            prof[s:] += colsum[: h - s]
+            prof[h - 1] += colsum[h - s:].sum()
+        else:                            # rows clipped into 0
+            s = max(s, -h)
+            prof[: h + s] += colsum[-s:]
+            prof[0] += colsum[: -s].sum()
     sm = _smooth(prof, 3)
 
     thresh = max(0.08 * sm.max(), 0.5)
@@ -322,6 +336,86 @@ def unclip_band(det, page_band_h):
         descent += grow
     return replace(det, p=p, up=up, ascent=ascent, descent=descent,
                    height=ascent)
+
+
+def extend_baselines(text_area, frames):
+    """Batched extend_baseline over all of one block's detected lines.
+
+    frames: [(p, right, up), ...] in page coordinates. Returns
+    [(p, right), ...]. One _seg_intersections + one containment call
+    for the whole block (the per-line probe clip was ~0.5 s/6 pages
+    of flow+lines host time)."""
+    import math as _math
+    from origami_tpu.geometry.ops import (_seg_intersections,
+                                          _segments_of,
+                                          _contains_points)
+    n = len(frames)
+    if n == 0:
+        return []
+    minx, miny, maxx, maxy = text_area.bounds
+    span = _math.hypot(maxx - minx, maxy - miny) * 2
+    a0 = np.empty((n, 2))
+    a1 = np.empty((n, 2))
+    dirs = np.empty((n, 2))
+    for i, (p, right, up) in enumerate(frames):
+        d = right / (np.linalg.norm(right) + 1e-9)
+        mid = p + right / 2
+        a0[i] = mid - d * span
+        a1[i] = mid + d * span
+        dirs[i] = d
+    psegs = _segments_of(text_area)
+    segs = np.c_[a0, a1]
+    pts, ia, ib = _seg_intersections(segs, psegs)
+    d_full = a1 - a0
+    L2 = np.maximum((d_full * d_full).sum(axis=1), 1e-12)
+    ts_by_probe = [[0.0, 1.0] for _ in range(n)]
+    if len(pts):
+        t_hit = np.clip(((pts - a0[ia]) * d_full[ia]).sum(axis=1)
+                        / L2[ia], 0.0, 1.0)
+        for k, i in enumerate(ia):
+            ts_by_probe[i].append(float(t_hit[k]))
+    # every candidate span midpoint of every probe in ONE containment
+    mids = []
+    spans_by_probe = []
+    for i in range(n):
+        ts = sorted(set(round(t, 12) for t in ts_by_probe[i]))
+        spans = [(t0, t1) for t0, t1 in zip(ts[:-1], ts[1:])
+                 if t1 - t0 >= 1e-12]
+        spans_by_probe.append(spans)
+        for t0, t1 in spans:
+            mids.append(a0[i] + (t0 + t1) * 0.5 * d_full[i])
+    ins = _contains_points(text_area, np.asarray(mids).reshape(-1, 2)) \
+        if mids else np.zeros(0, bool)
+    out = []
+    off = 0
+    for i, (p, right, up) in enumerate(frames):
+        spans = spans_by_probe[i]
+        k = len(spans)
+        # merge runs of consecutive inside spans (they share endpoints
+        # by construction) — matches _clip_line's piece stitching
+        best = None
+        best_len = -1.0
+        run = None
+        for (t0, t1), is_in in zip(
+                list(spans) + [(None, None)],
+                list(ins[off: off + k]) + [False]):
+            if is_in:
+                run = (run[0], t1) if run is not None else (t0, t1)
+            elif run is not None:
+                if run[1] - run[0] > best_len:
+                    best_len = run[1] - run[0]
+                    best = run
+                run = None
+        off += k
+        if best is None:
+            out.append((p, right))
+            continue
+        q0 = a0[i] + best[0] * d_full[i]
+        q1 = a0[i] + best[1] * d_full[i]
+        if np.dot(q1 - q0, right) < 0:
+            q0, q1 = q1, q0
+        out.append((q0, q1 - q0))
+    return out
 
 
 def extend_baseline(text_area, p, right, up):

@@ -57,8 +57,8 @@ def _even_odd_contains(rings, p):
     inside = False
     for c in rings:
         xs, ys = c[:, 0], c[:, 1]
-        x1 = np.roll(xs, -1)
-        y1 = np.roll(ys, -1)
+        x1 = np.concatenate((xs[1:], xs[:1]))
+        y1 = np.concatenate((ys[1:], ys[:1]))
         cond = (ys > y) != (y1 > y)
         with np.errstate(divide="ignore", invalid="ignore"):
             xint = xs + (y - ys) / (y1 - ys) * (x1 - xs)
@@ -79,7 +79,7 @@ def _ring_segments(rings):
             c = c[:-1]
         if len(c) < 2:
             continue
-        nxt = np.roll(c, -1, axis=0)
+        nxt = np.concatenate((c[1:], c[:1]))
         keep = np.hypot(*(nxt - c).T) > _EPS
         segs.append(np.c_[c, nxt][keep])
     if not segs:
@@ -225,14 +225,16 @@ def _face_cycles(edges):
 
 def _ring_area(c):
     x, y = c[:, 0], c[:, 1]
-    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    s = float(x[:-1] @ y[1:] - y[:-1] @ x[1:])
+    return 0.5 * (s + float(x[-1] * y[0] - y[-1] * x[0]))
 
 
 def _point_in_ring(p, c):
     """Even-odd containment of point p in ring c."""
     x, y = p
     xs, ys = c[:, 0], c[:, 1]
-    x1, y1 = np.roll(xs, -1), np.roll(ys, -1)
+    x1 = np.concatenate((xs[1:], xs[:1]))
+    y1 = np.concatenate((ys[1:], ys[:1]))
     cond = (ys > y) != (y1 > y)
     with np.errstate(divide="ignore", invalid="ignore"):
         xint = xs + (y - ys) / (y1 - ys) * (x1 - xs)
@@ -242,7 +244,7 @@ def _point_in_ring(p, c):
 def _left_of_longest_edge(c, rel=1e-7):
     """A point just left of the cycle's longest edge — inside the face
     this cycle bounds (the face walk keeps its face on the left)."""
-    d = np.roll(c, -1, axis=0) - c
+    d = np.concatenate((c[1:], c[:1])) - c
     lens = np.hypot(d[:, 0], d[:, 1])
     i = int(np.argmax(lens))
     mid = (c[i] + c[(i + 1) % len(c)]) / 2.0

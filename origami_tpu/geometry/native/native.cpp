@@ -970,4 +970,47 @@ void chamfer_edt(const uint8_t* src, int h, int w, float* out) {
     }
 }
 
+// Douglas-Peucker on an open chain xy[(x0,y0),(x1,y1),...]; sets
+// keep[i]=1 for retained vertices (endpoints always kept). Segment
+// distance uses the clamped projection, matching the numpy
+// implementation in geometry/poly._douglas_peucker (host twin: the
+// Python version's per-split numpy temporaries cost ~0.6 ms/ring,
+// ~0.5 s of the contours stage per 6-page batch).
+void douglas_peucker(const double* xy, int n, double tol,
+                     uint8_t* keep) {
+    if (n <= 0) return;
+    std::fill(keep, keep + n, 0);
+    keep[0] = keep[n - 1] = 1;
+    if (n < 3) return;
+    std::vector<std::pair<int, int>> stack;
+    stack.push_back({0, n - 1});
+    const double tol2 = tol * tol;
+    while (!stack.empty()) {
+        auto [i0, i1] = stack.back();
+        stack.pop_back();
+        if (i1 <= i0 + 1) continue;
+        const double ax = xy[2 * i0], ay = xy[2 * i0 + 1];
+        const double bx = xy[2 * i1], by = xy[2 * i1 + 1];
+        const double abx = bx - ax, aby = by - ay;
+        const double L2 = abx * abx + aby * aby;
+        double dmax2 = -1.0;
+        int imax = -1;
+        for (int i = i0 + 1; i < i1; i++) {
+            const double px = xy[2 * i], py = xy[2 * i + 1];
+            double t = L2 > 1e-18
+                ? ((px - ax) * abx + (py - ay) * aby) / L2 : 0.0;
+            t = t < 0.0 ? 0.0 : (t > 1.0 ? 1.0 : t);
+            const double dx = px - (ax + t * abx);
+            const double dy = py - (ay + t * aby);
+            const double d2 = dx * dx + dy * dy;
+            if (d2 > dmax2) { dmax2 = d2; imax = i; }
+        }
+        if (dmax2 > tol2) {
+            keep[imax] = 1;
+            stack.push_back({i0, imax});
+            stack.push_back({imax, i1});
+        }
+    }
+}
+
 }  // extern "C"

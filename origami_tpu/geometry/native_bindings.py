@@ -251,3 +251,30 @@ def chamfer_edt_native(mask):
     lib.chamfer_edt(src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                     h, w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def _bind_dp(lib):
+    if getattr(lib, "_dp_bound", False):
+        return
+    lib.douglas_peucker.restype = None
+    lib.douglas_peucker.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_uint8)]
+    lib._dp_bound = True
+
+
+def douglas_peucker_native(coords, tol):
+    """Keep-mask of Douglas-Peucker simplification over an open chain
+    (N, 2); None when the native library is unavailable. Matches
+    geometry/poly._douglas_peucker."""
+    lib = _load()
+    if lib is None:
+        return None
+    _bind_dp(lib)
+    c = np.ascontiguousarray(coords, np.float64)
+    n = len(c)
+    keep = np.empty(n, np.uint8)
+    lib.douglas_peucker(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+        float(tol), keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return keep > 0

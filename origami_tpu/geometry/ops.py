@@ -336,8 +336,8 @@ def _is_convex_ring(c):
     """True iff the open ring (n, 2) is convex (collinear points ok)."""
     if len(c) < 3:
         return False
-    e = np.roll(c, -1, axis=0) - c
-    f = np.roll(e, -1, axis=0)
+    e = np.concatenate((c[1:], c[:1])) - c
+    f = np.concatenate((e[1:], e[:1]))
     cr = e[:, 0] * f[:, 1] - e[:, 1] * f[:, 0]
     scale = max(float(np.abs(cr).max()), 1.0)
     pos = (cr > 1e-9 * scale).any()
@@ -392,7 +392,9 @@ def _sh_clip_points(subject, clip):
 def _ccw_shell(ring):
     """Open ring in CCW orientation, or None when degenerate."""
     x, y = ring[:, 0], ring[:, 1]
-    area2 = float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    # shoelace over slice views, not np.roll (call-overhead hot spot)
+    area2 = float(x[:-1] @ y[1:] - y[:-1] @ x[1:]
+                  + x[-1] * y[0] - y[-1] * x[0])
     if abs(area2) < 1e-12:
         return None
     return ring[::-1] if area2 < 0 else ring

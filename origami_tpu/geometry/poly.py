@@ -45,7 +45,10 @@ def _ring_area(c):
     if len(c) < 3:
         return 0.0
     x, y = c[:, 0], c[:, 1]
-    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    # shoelace over slice views (np.roll on small rings is ~25 us of
+    # pure call overhead; these run 10^4+ times per page batch)
+    s = float(x[:-1] @ y[1:] - y[:-1] @ x[1:])
+    return 0.5 * (s + float(x[-1] * y[0] - y[-1] * x[0]))
 
 
 def _close_ring(c):
@@ -67,8 +70,8 @@ def _points_in_ring(points, ring):
     x = points[:, 0][:, None]
     y = points[:, 1][:, None]
     x0, y0 = ring[:, 0][None, :], ring[:, 1][None, :]
-    x1 = np.roll(ring[:, 0], -1)[None, :]
-    y1 = np.roll(ring[:, 1], -1)[None, :]
+    x1 = np.concatenate((ring[1:, 0], ring[:1, 0]))[None, :]
+    y1 = np.concatenate((ring[1:, 1], ring[:1, 1]))[None, :]
     cond = (y0 <= y) != (y1 <= y)
     denom = y1 - y0
     denom = np.where(np.abs(denom) < _EPS, _EPS, denom)
@@ -81,7 +84,8 @@ def _points_on_ring(points, ring, tol=1e-9):
     """True where a point lies on the ring boundary (within tol)."""
     if len(ring) < 2:
         return np.zeros(len(points), dtype=bool)
-    d = _points_to_segments_dist(points, np.c_[ring, np.roll(ring, -1, axis=0)])
+    d = _points_to_segments_dist(
+        points, np.c_[ring, np.concatenate((ring[1:], ring[:1]))])
     return d.min(axis=1) <= tol
 
 
@@ -630,7 +634,8 @@ class Polygon(Geometry):
         for ring, sign in [(self._shell, 1.0)] + [(h, -1.0) for h in self._holes]:
             c = ring
             x, y = c[:, 0], c[:, 1]
-            x1, y1 = np.roll(x, -1), np.roll(y, -1)
+            x1 = np.concatenate((x[1:], x[:1]))
+            y1 = np.concatenate((y[1:], y[:1]))
             cross = x * y1 - x1 * y
             a = 0.5 * cross.sum()
             if abs(a) < _EPS:
@@ -656,7 +661,7 @@ class Polygon(Geometry):
         elif len(c) > 512:
             memo = True  # too expensive; assume fixed upstream
         else:
-            segs = np.c_[c, np.roll(c, -1, axis=0)]
+            segs = np.c_[c, np.concatenate((c[1:], c[:1]))]
             n = len(segs)
             memo = True
             pts, ia, ib = _seg_intersections(segs, segs)
@@ -800,6 +805,10 @@ def _douglas_peucker(coords, tol):
     n = len(c)
     if n < 3:
         return c
+    from .native_bindings import douglas_peucker_native
+    k = douglas_peucker_native(c, tol)
+    if k is not None:
+        return c[k]
     keep = np.zeros(n, dtype=bool)
     keep[0] = keep[-1] = True
     stack = [(0, n - 1)]
