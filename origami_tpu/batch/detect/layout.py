@@ -1150,7 +1150,11 @@ class RegionSeparatorDetector:
         polys = [contours[k] for k in keys]
         tree = G.STRtree(polys)
         seps = collections.defaultdict(list)
-        for sep in regions.separators.for_label(self._label):
+        labels = (self._label,) if isinstance(self._label, str) \
+            else tuple(self._label)
+        sep_geoms = [g for lbl in labels
+                     for g in regions.separators.for_label(lbl)]
+        for sep in sep_geoms:
             for i in tree.query_indices(sep):
                 i = int(i)
                 inter = polys[i].intersection(sep)
@@ -1313,8 +1317,13 @@ class LayoutDetectionProcessor(Processor):
                 "layout %s not found in origami_tpu.custom.layouts"
                 % layout_name)
         self._transformer = mod.make_transformer()
+        # T ∪ V: a vertical stroke INSIDE a TABULAR region is a table
+        # divider whatever the pixel classifier called it — the model's
+        # T/V class confusion (raw T IoU 0.43, COMPARE_r03) must not
+        # cost a table column (reference keys on T only,
+        # origami/batch/detect/layout.py:1091-1180)
         self._col_detector = RegionSeparatorDetector(
-            "regions/TABULAR", "separators/T", axis=0)
+            "regions/TABULAR", ("separators/T", "separators/V"), axis=0)
         self._div_detector = RegionSeparatorDetector(
             "regions/TABULAR", "separators/H", axis=1)
 

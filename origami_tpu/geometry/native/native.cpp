@@ -908,7 +908,15 @@ extern "C" {
 // because the while-loop device formulation cold-compiles in minutes
 // through the remote TPU compiler and a page costs only ~10 ms here.
 int thin_mask(uint8_t* img, int h, int w, int max_iter) {
-    std::vector<uint8_t> rem((size_t)h * w);
+    // worklist over set pixels: separator masks are ~2% dense, so a
+    // full h*w scan per subiteration (the textbook formulation) does
+    // ~50x the work. The parallel-update semantics are preserved —
+    // removal decisions per subiteration read img before any of that
+    // subiteration's removals are applied.
+    std::vector<int> cur;
+    for (int i = 0; i < h * w; i++)
+        if (img[i]) cur.push_back(i);
+    std::vector<int> rem;
     auto at = [&](int y, int x) -> int {
         return (y >= 0 && y < h && x >= 0 && x < w) ? img[y * w + x] : 0;
     };
@@ -916,32 +924,34 @@ int thin_mask(uint8_t* img, int h, int w, int max_iter) {
     for (; it < max_iter; it++) {
         bool changed = false;
         for (int step = 0; step < 2; step++) {
-            std::fill(rem.begin(), rem.end(), 0);
-            for (int y = 0; y < h; y++) {
-                for (int x = 0; x < w; x++) {
-                    if (!img[y * w + x]) continue;
-                    int p2 = at(y - 1, x), p3 = at(y - 1, x + 1);
-                    int p4 = at(y, x + 1), p5 = at(y + 1, x + 1);
-                    int p6 = at(y + 1, x), p7 = at(y + 1, x - 1);
-                    int p8 = at(y, x - 1), p9 = at(y - 1, x - 1);
-                    int b = p2 + p3 + p4 + p5 + p6 + p7 + p8 + p9;
-                    if (b < 2 || b > 6) continue;
-                    int ring[9] = {p2, p3, p4, p5, p6, p7, p8, p9, p2};
-                    int a = 0;
-                    for (int i = 0; i < 8; i++)
-                        a += (ring[i] == 0 && ring[i + 1] == 1);
-                    if (a != 1) continue;
-                    bool c2 = step == 0
-                        ? (p2 * p4 * p6 == 0 && p4 * p6 * p8 == 0)
-                        : (p2 * p4 * p8 == 0 && p2 * p6 * p8 == 0);
-                    if (!c2) continue;
-                    rem[y * w + x] = 1;
-                }
+            rem.clear();
+            for (int idx : cur) {
+                if (!img[idx]) continue;
+                const int y = idx / w, x = idx % w;
+                int p2 = at(y - 1, x), p3 = at(y - 1, x + 1);
+                int p4 = at(y, x + 1), p5 = at(y + 1, x + 1);
+                int p6 = at(y + 1, x), p7 = at(y + 1, x - 1);
+                int p8 = at(y, x - 1), p9 = at(y - 1, x - 1);
+                int b = p2 + p3 + p4 + p5 + p6 + p7 + p8 + p9;
+                if (b < 2 || b > 6) continue;
+                int ring[9] = {p2, p3, p4, p5, p6, p7, p8, p9, p2};
+                int a = 0;
+                for (int i = 0; i < 8; i++)
+                    a += (ring[i] == 0 && ring[i + 1] == 1);
+                if (a != 1) continue;
+                bool c2 = step == 0
+                    ? (p2 * p4 * p6 == 0 && p4 * p6 * p8 == 0)
+                    : (p2 * p4 * p8 == 0 && p2 * p6 * p8 == 0);
+                if (!c2) continue;
+                rem.push_back(idx);
             }
-            for (size_t i = 0; i < (size_t)h * w; i++)
-                if (rem[i]) { img[i] = 0; changed = true; }
+            for (int idx : rem) { img[idx] = 0; changed = true; }
         }
         if (!changed) break;
+        size_t k = 0;
+        for (int idx : cur)
+            if (img[idx]) cur[k++] = idx;
+        cur.resize(k);
     }
     return it;
 }

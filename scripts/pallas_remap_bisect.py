@@ -58,15 +58,27 @@ def main():
     ensure_compilation_cache()
 
     rng = np.random.default_rng(1)
-    for (h, w, oh, ow, amp) in (
-            (256, 384, 256, 384, 0.0),
-            (256, 384, 256, 384, 5.0),
-            (512, 640, 576, 768, 5.0),
-            (1312, 1920, 1600, 2200, 8.0),
+    for (h, w, oh, ow, amp, oob) in (
+            (256, 384, 256, 384, 0.0, 0.0),
+            (256, 384, 256, 384, 5.0, 0.0),
+            (512, 640, 576, 768, 5.0, 0.0),
+            (512, 640, 576, 768, 5.0, 60.0),     # out-of-bounds band
+            (512, 640, 576, 768, 40.0, 0.0),     # strong warp band
+            (1312, 1920, 1600, 2200, 8.0, 0.0),
+            (1312, 1920, 1600, 2200, 8.0, 120.0),
+            (1312, 1920, 1600, 2200, 40.0, 40.0),
     ):
         img = (rng.integers(0, 256, size=(h, w))
                .astype(np.float32))
         m = smooth_map(oh, ow, h, w, amp)
+        if oob:
+            # shift so a band of samples falls outside the image on
+            # all four sides (the real dewarp grid's border extension
+            # reads the fill margin)
+            m[..., 0] -= oob
+            m[..., 1] -= oob
+            m[..., 0] *= (w - 1 + 2 * oob) / max(w - 1, 1)
+            m[..., 1] *= (h - 1 + 2 * oob) / max(h - 1, 1)
         want = np_bilinear(img, m, 0.0)
         for mode in ("hw",):
             try:
