@@ -100,6 +100,31 @@ def pipeline_cer(corpus, gt_dir):
         line_recall=n_matched / max(n_gt, 1), n_gt=n_gt)
 
 
+def composed_cer(corpus, gt_dir):
+    """Page-level CER of the COMPOSED text (compose.zip page.txt, i.e.
+    recognition AND reading order) against the GT line stream — the
+    per-line matched CER can hide seam losses where a split line's
+    halves both match (VERDICT r3 item 5 asks for this measure)."""
+    import zipfile
+    from origami_tpu.batch.utils.evaluate import cer
+
+    cers = []
+    for img in sorted(Path(corpus).glob("*.png")):
+        if ".labels." in img.name:
+            continue
+        out = img.parent / (img.stem + ".out")
+        if not (out / "compose.zip").exists():
+            continue
+        gt = json.loads(
+            (Path(gt_dir) / (img.stem + ".gt.json")).read_text())
+        gt_text = "\n".join(line["text"] for line in gt["lines"])
+        with zipfile.ZipFile(out / "compose.zip") as z:
+            det = z.read("page.txt").decode("utf-8")
+        det = "\n".join(l for l in det.splitlines() if l.strip())
+        cers.append(cer(gt_text, det))
+    return float(np.mean(cers)) if cers else None
+
+
 def fmt_iou(d):
     rows = []
     for kind in ("region", "separator"):
@@ -140,6 +165,7 @@ def main():
                      target=target)
         results[label] = dict(
             cer=pipeline_cer(corpus, work / "val"),
+            composed_cer=composed_cer(corpus, work / "val"),
             seconds_per_page=round(
                 (time.time() - t0) / args.pages, 2))
 
@@ -206,20 +232,35 @@ def main():
               report["ocr"]["n"],
               "",
               "greedy decode: CER mean %.4f / median %.4f" % (
-                  report["ocr"]["cer"], report["ocr"]["cer_median"]),
-              "",
+                  report["ocr"]["cer"], report["ocr"]["cer_median"])]
+    if report.get("ocr_voted_beam"):
+        lines += ["",
+                  "| decode mode | CER mean | CER median |",
+                  "|---|---|---|"]
+        for label, key in (
+                ("greedy (seed 1)", "ocr"),
+                ("greedy (seed 2)", "ocr_seed2"),
+                ("beam, single model", "ocr_beam_single"),
+                ("voted beam (2 models)", "ocr_voted_beam")):
+            r = report.get(key)
+            if r:
+                lines.append("| %s | %.4f | %.4f |" % (
+                    label, r["cer"], r["cer_median"]))
+    lines += ["",
               "## Full pipeline on val pages (segment -> compose)",
               "",
               "| pipeline | line recall | CER mean | CER median | "
-              "s/page |",
-              "|---|---|---|---|---|"]
+              "composed CER | s/page |",
+              "|---|---|---|---|---|---|"]
     for label, r in results.items():
         c = r["cer"]
-        lines.append("| %s | %.3f | %s | %s | %.1f |" % (
+        lines.append("| %s | %.3f | %s | %s | %s | %.1f |" % (
             label, c["line_recall"],
             "%.4f" % c["cer"] if c["cer"] is not None else "-",
             "%.4f" % c["cer_median"] if c["cer_median"] is not None
             else "-",
+            "%.4f" % r["composed_cer"]
+            if r.get("composed_cer") is not None else "-",
             r["seconds_per_page"]))
     if seg_diffs:
         mean_text = float(np.mean(

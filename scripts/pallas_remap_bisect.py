@@ -51,8 +51,32 @@ def np_bilinear(img, m, fill=0.0):
     return out.astype(np.float32)
 
 
-def main():
+def run_case(img, m, want, note=""):
     from origami_tpu.ops.pallas.remap import remap_pallas
+    h, w = img.shape
+    oh, ow = m.shape[:2]
+    try:
+        got = np.asarray(remap_pallas(img, m, 0.0, gather_mode="tiled"))
+        err = np.abs(got - want)
+        bad = err > 1e-2
+        frac = float(bad.mean())
+        msg = "PASS" if frac == 0 else "FAIL %5.2f%%" % (100 * frac)
+        if frac:
+            ii = np.argwhere(bad)
+            ys, xs = ii[:, 0], ii[:, 1]
+            msg += (" rows[%d..%d] cols[%d..%d] n=%d"
+                    % (ys.min(), ys.max(), xs.min(), xs.max(), len(ii)))
+            msg += (" maxerr=%.4f p99.9=%.4f n>0.5=%d"
+                    % (float(err.max()), float(np.quantile(err, 0.999)),
+                       int((err > 0.5).sum())))
+    except Exception as e:
+        ln = str(e).splitlines() or [type(e).__name__]
+        msg = "ERROR %s: %s" % (type(e).__name__, ln[0][:70])
+    print("h=%-5d w=%-5d oh=%-5d ow=%-5d %-9s %s"
+          % (h, w, oh, ow, note, msg), flush=True)
+
+
+def main():
     from origami_tpu.parallel.cache import ensure_compilation_cache
 
     ensure_compilation_cache()
@@ -80,30 +104,21 @@ def main():
             m[..., 0] *= (w - 1 + 2 * oob) / max(w - 1, 1)
             m[..., 1] *= (h - 1 + 2 * oob) / max(h - 1, 1)
         want = np_bilinear(img, m, 0.0)
-        for mode in ("hw",):
-            try:
-                got = np.asarray(remap_pallas(
-                    img, m, 0.0, gather_mode="tiled"))
-                err = np.abs(got - want)
-                bad = err > 1e-2
-                frac = float(bad.mean())
-                msg = "PASS" if frac == 0 else "FAIL %5.2f%%" % (
-                    100 * frac)
-                if frac:
-                    ii = np.argwhere(bad)
-                    ys, xs = ii[:, 0], ii[:, 1]
-                    msg += (" rows[%d..%d] cols[%d..%d] n=%d"
-                            % (ys.min(), ys.max(), xs.min(), xs.max(),
-                               len(ii)))
-                    msg += (" maxerr=%.4f p99.9=%.4f n>0.5=%d"
-                            % (float(err.max()),
-                               float(np.quantile(err, 0.999)),
-                               int((err > 0.5).sum())))
-            except Exception as e:
-                ln = str(e).splitlines() or [type(e).__name__]
-                msg = "ERROR %s: %s" % (type(e).__name__, ln[0][:70])
-            print("h=%-5d w=%-5d oh=%-5d ow=%-5d amp=%-4.1f %s"
-                  % (h, w, oh, ow, amp, msg), flush=True)
+        run_case(img, m, want, note="a%go%g" % (amp, oob))
+
+    # the EXACT r3 A/B configuration (scripts/perf_pallas_remap.py):
+    # identity + per-pixel N(0, 3) jitter — NOT a smooth field
+    h, w = 2432, 1664
+    oh, ow = 2432, 1280
+    img = (rng.integers(0, 255, (h, w)).astype(np.float32))
+    ys, xs = np.meshgrid(np.arange(oh, dtype=np.float32),
+                         np.arange(ow, dtype=np.float32), indexing="ij")
+    m = np.stack([
+        np.clip(xs + rng.normal(0, 3, xs.shape), 0, w - 1),
+        np.clip(ys + rng.normal(0, 3, ys.shape), 0, h - 1),
+    ], axis=-1).astype(np.float32)
+    want = np_bilinear(img, m, 0.0)
+    run_case(img, m, want, note="r3-noise")
 
 
 if __name__ == "__main__":
