@@ -530,3 +530,26 @@ def test_gutter_is_clear():
     # degenerate positions never split
     assert not _gutter_is_clear(two_col, 0, lh)
     assert not _gutter_is_clear(two_col, w - 1, lh)
+
+
+def test_lines_bridge_veto():
+    """FixSpillOverH's second line of defense (VERDICT r3 item 5):
+    detected baselines whose dewarped x-extent reads straight across a
+    candidate whitespace column veto the split — an aligned inter-word
+    column bridges on every text row, a genuine gutter on none."""
+    from origami_tpu.batch.detect.layout import _lines_bridge
+    lh = 12.0
+    # two-column page: lines end at 100 / start at 140, candidate 120
+    spans_cols = [(10.0, 100.0)] * 6 + [(140.0, 230.0)] * 6
+    assert not _lines_bridge(spans_cols, 120.0, margin=lh)
+    # one block whose lines all span the candidate
+    spans_block = [(10.0, 230.0)] * 8
+    assert _lines_bridge(spans_block, 120.0, margin=lh)
+    # a single spanning headline over two columns: under the 20%
+    # default it must NOT veto
+    assert not _lines_bridge(spans_cols + [(10.0, 230.0)], 120.0,
+                             margin=lh)
+    # lines merely touching the candidate (within margin) don't count
+    spans_touch = [(10.0, 125.0)] * 6 + [(115.0, 230.0)] * 6
+    assert not _lines_bridge(spans_touch, 120.0, margin=lh)
+    assert not _lines_bridge([], 120.0, margin=lh)
