@@ -156,30 +156,32 @@ def build_cut_tree(named, score="widest_gap"):
     as plain JSON: each node carries the cut axis / position / score
     and the two child node groups (same splitting code path as
     tool/xycut.py's text stepper and the order stage's scorer)."""
+    import numpy as np
     from origami_tpu.core import xycut
-    from origami_tpu.core.xycut import _axis_candidates, _split, _Item
+    from origami_tpu.core.xycut import _axis_candidates, _split
 
     sc = xycut.SCORES[score]
+    names = [n for n, _ in named]
+    bounds = np.array([b for _, b in named],
+                      np.float64).reshape(-1, 4)
 
-    def build(items):
-        if len(items) <= 1:
-            return dict(cut=False, names=[n for n, _ in items])
-        objs = [_Item(n, b) for n, b in items]
-        cands = (_axis_candidates(objs, 0, sc, 0, 0.1)
-                 + _axis_candidates(objs, 1, sc, 0, 0.1))
+    def build(idx):
+        if len(idx) <= 1:
+            return dict(cut=False, names=[names[i] for i in idx])
+        cands = (_axis_candidates(bounds, idx, 0, sc, 0, 0.1)
+                 + _axis_candidates(bounds, idx, 1, sc, 0, 0.1))
         if not cands:
-            return dict(cut=False, names=[n for n, _ in items])
+            return dict(cut=False, names=[names[i] for i in idx])
         s, x, axis, overlap = max(cands, key=lambda c: c[0])
-        a, b = _split(objs, axis, x, 0.1)
-        lo = min(i.bounds[1 - axis] for i in objs)
-        hi = max(i.bounds[3 - axis] for i in objs)
+        a, b = _split(bounds, idx, axis, x, 0.1)
+        lo = float(bounds[idx, 1 - axis].min())
+        hi = float(bounds[idx, 3 - axis].max())
         return dict(
             cut=True, axis=int(axis), x=float(x), score=float(s),
-            overlap=bool(overlap), extent=[float(lo), float(hi)],
-            a_node=build([(i.name, tuple(i.bounds)) for i in a]),
-            b_node=build([(i.name, tuple(i.bounds)) for i in b]))
+            overlap=bool(overlap), extent=[lo, hi],
+            a_node=build(a), b_node=build(b))
 
-    return build(named)
+    return build(np.arange(len(named)))
 
 
 def cut_tree(page_path, stage="reliable", fringe=0.005,
