@@ -33,32 +33,34 @@ def xycut_debug(page_path, stage, fringe):
         named.append(("/".join(parts), (minx + f, miny + f,
                                         maxx - f, maxy - f)))
 
-    def show(items_, depth):
+    import numpy as np
+    from origami_tpu.core.xycut import _axis_candidates, _split
+    names = [n for n, _ in named]
+    bounds = np.array([b for _, b in named], np.float64).reshape(-1, 4)
+
+    def show(idx, depth):
         indent = "  " * depth
-        if len(items_) <= 1:
-            for n, _ in items_:
-                print("%s- %s" % (indent, n))
+        if len(idx) <= 1:
+            for i in idx:
+                print("%s- %s" % (indent, names[i]))
             return
-        from origami_tpu.core.xycut import (
-            _axis_candidates, _split, _Item)
-        objs = [_Item(n, b) for n, b in items_]
-        cands = (_axis_candidates(objs, 0, xycut.SCORES["widest_gap"],
-                                  0, 0.1)
-                 + _axis_candidates(objs, 1, xycut.SCORES["widest_gap"],
-                                    0, 0.1))
+        cands = (_axis_candidates(bounds, idx, 0,
+                                  xycut.SCORES["widest_gap"], 0, 0.1)
+                 + _axis_candidates(bounds, idx, 1,
+                                    xycut.SCORES["widest_gap"], 0, 0.1))
         if not cands:
             print("%s* unsplittable group: %s"
-                  % (indent, [n for n, _ in items_]))
+                  % (indent, [names[i] for i in idx]))
             return
         s, x, axis, overlap = max(cands, key=lambda c: c[0])
-        a, b = _split(objs, axis, x, 0.1)
+        a, b = _split(bounds, idx, axis, x, 0.1)
         print("%scut %s at %.1f (score %.1f%s)"
               % (indent, "x" if axis == 0 else "y", x, s,
                  ", overlap" if overlap else ""))
-        show([(i.name, tuple(i.bounds)) for i in a], depth + 1)
-        show([(i.name, tuple(i.bounds)) for i in b], depth + 1)
+        show(a, depth + 1)
+        show(b, depth + 1)
 
-    show(named, 0)
+    show(np.arange(len(named)), 0)
     print("\nfinal order:")
     for name in xycut.reading_order(named):
         print("  %s" % name)
