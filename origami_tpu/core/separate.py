@@ -153,6 +153,122 @@ class ObstacleSampler:
         gaps = np.maximum(lo[1:] - hi[:-1], 0.0)
         return float(hi[-1] - lo[0] - gaps.sum())
 
+    @staticmethod
+    def _union_len_grouped(k_idx, lo, hi, n_groups):
+        """Per-group union length of [lo, hi] intervals — the batched
+        twin of _union_len (identical semantics per group)."""
+        out = np.zeros(n_groups)
+        if not len(k_idx):
+            return out
+        order = np.lexsort((lo, k_idx))
+        k = k_idx[order]
+        lo = lo[order]
+        hi = hi[order]
+        # segmented running max of hi (groups are contiguous after the
+        # lexsort; the +k*BIG shift makes accumulate reset per group)
+        big = max(float(np.abs(hi).max()), 1.0) * 4.0 + 4.0
+        run = np.maximum.accumulate(hi + k * big) - k * big
+        same = k[1:] == k[:-1]
+        gaps = np.where(same, np.maximum(lo[1:] - run[:-1], 0.0), 0.0)
+        starts = np.flatnonzero(
+            np.concatenate(([True], ~same)))
+        ends = np.concatenate((starts[1:] - 1, [len(k) - 1]))
+        totals = run[ends] - lo[starts]
+        if len(gaps):
+            gsum = np.add.reduceat(
+                np.concatenate((gaps, [0.0])), starts)
+            # reduceat over gaps[start..next_start-1]: the gap at index
+            # i spans intervals i,i+1 which belong to the same group by
+            # construction (same mask), so this bins correctly
+            totals = totals - gsum
+        out[k[starts]] = totals
+        return out
+
+    def score_many(self, gaps):
+        """Vectorized __call__ over many gaps: one (K, M) Liang-Barsky
+        clip + segmented union sweeps (the per-gap call was the order
+        stage's hottest host path — thousands of candidate gaps per
+        page)."""
+        K = len(gaps)
+        if K == 0:
+            return np.zeros(0)
+        du = np.array([g.du for g in gaps])
+        dv = np.array([g.dv for g in gaps])
+        base = du * dv
+        small = (du < 0.5) | (dv < 0.5)
+        if not len(self._segs):
+            return np.where(small, 0.0, base)
+        bounds = np.array([g.bounds for g in gaps], np.float64)
+        gaxis = np.array([g.axis for g in gaps])
+        pad = 5.0
+        x0 = bounds[:, 0] - pad
+        y0 = bounds[:, 1] - pad
+        x1 = bounds[:, 2] + pad
+        y1 = bounds[:, 3] + pad
+        s = self._segs
+        M = len(s)
+        dx = (s[:, 2] - s[:, 0])[None, :]
+        dy = (s[:, 3] - s[:, 1])[None, :]
+        sx = s[:, 0][None, :]
+        sy = s[:, 1][None, :]
+        t0 = np.zeros((K, M))
+        t1 = np.ones((K, M))
+        ok = np.ones((K, M), bool)
+        for p, q in ((-dx, sx - x0[:, None]), (dx, x1[:, None] - sx),
+                     (-dy, sy - y0[:, None]), (dy, y1[:, None] - sy)):
+            par = np.broadcast_to(p == 0, (K, M))
+            ok &= ~(par & (q < 0))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = q / np.where(p == 0, 1.0, p)
+            ent = ~par & np.broadcast_to(p < 0, (K, M))
+            ext = ~par & np.broadcast_to(p > 0, (K, M))
+            t0 = np.where(ent, np.maximum(t0, r), t0)
+            t1 = np.where(ext, np.minimum(t1, r), t1)
+        ok &= t0 <= t1
+        ax = sx + t0 * dx
+        ay = sy + t0 * dy
+        bx_ = sx + t1 * dx
+        by = sy + t1 * dy
+        # per-gap axis selection of the u (gap axis) / v coordinates
+        ga = gaxis[:, None]
+        au = np.where(ga == 0, ax, ay)
+        bu = np.where(ga == 0, bx_, by)
+        av = np.where(ga == 0, ay, ax)
+        bv = np.where(ga == 0, by, bx_)
+        um = ok & (self._axes[None, :] == ga)
+        vm = ok & ~(self._axes[None, :] == ga)
+        ku, su_ = np.nonzero(um)
+        obst_cov = self._union_len_grouped(
+            ku, np.minimum(au[um], bu[um]),
+            np.maximum(au[um], bu[um]) + 1, K)
+        kv, sv_ = np.nonzero(vm)
+        vlo = np.minimum(av[vm], bv[vm])
+        vhi = np.maximum(av[vm], bv[vm]) + 1
+        flow_cov = self._union_len_grouped(kv, vlo, vhi, K)
+        flow_score = flow_cov / np.maximum(dv, 1e-12)
+        obst_score = obst_cov / np.maximum(du, 1e-12)
+        if self._thickness_delta is not None and len(kv):
+            ws = self._widths[sv_]
+            weights = vhi - vlo - 1
+            wsum = np.bincount(kv, weights=weights, minlength=K)
+            wmean = np.zeros(K)
+            has = np.bincount(kv, minlength=K) > 0
+            num = np.bincount(kv, weights=ws * weights, minlength=K)
+            pos = wsum > 0
+            wmean[pos] = num[pos] / wsum[pos]
+            # zero-weight groups fall back to the plain mean
+            zw = has & ~pos
+            if zw.any():
+                cnt = np.bincount(kv, minlength=K)
+                msum = np.bincount(kv, weights=ws, minlength=K)
+                wmean[zw] = msum[zw] / cnt[zw]
+            dt = np.array([self._thickness_delta(w) if h else 0.0
+                           for w, h in zip(wmean, has)])
+            obst_score = obst_score - dt
+            flow_score = flow_score + dt
+        out = (base * (1 - obst_score)) * (1 + flow_score)
+        return np.where(small, 0.0, out)
+
     def __call__(self, gap):
         if gap.du < 0.5 or gap.dv < 0.5:
             return 0.0

@@ -94,9 +94,18 @@ def _axis_candidates(bounds, idx, axis, score, eps, min_extent=0.1):
     act = active[:-1]
     valid = x0s > xs[0] + eps
     out = []
-    for i in np.nonzero(valid & (act == 0) & (x1s > x0s))[0]:
-        gap = GapInfo(axis, float(x0s[i]), float(x1s[i]), vmin, vmax)
-        out.append((score(gap), float(x0s[i]), axis, False))
+    gap_i = np.nonzero(valid & (act == 0) & (x1s > x0s))[0]
+    if len(gap_i):
+        gaps = [GapInfo(axis, float(x0s[i]), float(x1s[i]), vmin, vmax)
+                for i in gap_i]
+        if hasattr(score, "score_many"):
+            # one vectorized pass over all candidate gaps (the per-gap
+            # ObstacleSampler call dominated the order stage)
+            for sv, i in zip(score.score_many(gaps), gap_i):
+                out.append((float(sv), float(x0s[i]), axis, False))
+        else:
+            for g, i in zip(gaps, gap_i):
+                out.append((score(g), float(x0s[i]), axis, False))
     ov = np.nonzero(valid & (act > 0))[0]
     if len(ov):
         # overlap error at boundary x0: sum over the items open there
