@@ -53,11 +53,18 @@ class RecognizerPredictor:
     """One or more stacked recognizer models with greedy / voted decode.
 
     decoder="greedy" decodes on device; "beam" runs a host prefix beam
-    search over the (ensemble-averaged) per-frame distributions — the
-    Calamari-style voting quality mode."""
+    search over per-frame distributions. With multiple models the
+    default voting is SEQUENCE-level (vote="sequence"): each member
+    decodes independently and per line the members vote on the text,
+    confidence breaking ties — the Calamari MultiPredictor semantic
+    (reference origami/batch/detect/ocr.py:33-67). vote="frames"
+    averages the members' frame log-distributions before decoding;
+    measured on the 2-seed bootstrap it DEGRADES CER 0.000 -> 0.041
+    (CTC alignment drift between members smears the averaged peaks),
+    so it exists only for comparison."""
 
     def __init__(self, model_paths, batch_size=128, decoder="greedy",
-                 beam_width=10):
+                 beam_width=10, vote="sequence"):
         import jax
         import jax.numpy as jnp
         from origami_tpu.models import registry, ctc
@@ -90,27 +97,37 @@ class RecognizerPredictor:
             logits, pad = module.apply({"params": params}, x, widths=widths)
             return logits, pad
 
-        def infer_voted(params_stack, x, widths):
+        def infer_members(params_stack, x, widths):
             def one(params):
                 logits, pad = module.apply({"params": params}, x,
                                            widths=widths)
                 return jax.nn.log_softmax(logits, axis=-1), pad
-            logps, pads = jax.vmap(one)(params_stack)
+            return jax.vmap(one)(params_stack)   # (N, B, T, C), (N, B, T)
+
+        def infer_voted(params_stack, x, widths):
+            logps, pads = infer_members(params_stack, x, widths)
             return jnp.mean(logps, axis=0), pads[0]
 
         self._infer = jax.jit(infer)
         self._infer_voted = jax.jit(infer_voted)
+        self._infer_members = jax.jit(infer_members)
+        self._vote = vote
 
         def recognize_u8(params, strips_u8, widths):
             """Fused device path: normalize + infer + greedy decode on
             uint8 strips straight from the line extractor — texts come
             back as small id arrays; the padded strip batch never
             round-trips through the host (the tunnel moves ~10x the
-            useful bytes otherwise)."""
+            useful bytes otherwise). With sequence voting every member
+            decodes on device; the (N, B, L) id arrays come back for
+            the host-side per-line vote."""
             x = 1.0 - strips_u8.astype(jnp.float32)[..., None] / 255.0
             w = jnp.maximum(widths.astype(jnp.float32), 1.0)
-            if self._voting:
+            if self._voting and self._vote == "frames":
                 logits, pad = infer_voted(params, x, w)
+            elif self._voting:
+                logps, pads = infer_members(params, x, w)
+                return jax.vmap(ctc.greedy_decode)(logps, pads)
             else:
                 logits, pad = infer(params, x, w)
             return ctc.greedy_decode(logits, pad)
@@ -208,6 +225,23 @@ class RecognizerPredictor:
             off += sz
         return outs, n
 
+    def _vote_texts(self, cands):
+        """Sequence-level vote: majority text among the members, mean
+        member confidence breaking ties (Calamari MultiPredictor
+        semantics, reference origami/batch/detect/ocr.py:33-67)."""
+        import collections
+        counts = collections.Counter(t for t, _ in cands)
+        top = max(counts.values())
+        tied = [t for t, c in counts.items() if c == top]
+        if len(tied) == 1:
+            text = tied[0]
+        else:
+            def mean_conf(t):
+                cs = [c for tt, c in cands if tt == t]
+                return sum(cs) / len(cs)
+            text = max(tied, key=mean_conf)
+        return text, max(c for tt, c in cands if tt == text)
+
     def finalize_device(self, deferred):
         """(texts, confs) for a predict_device_deferred result."""
         outs, n = deferred
@@ -217,10 +251,21 @@ class RecognizerPredictor:
             ids = np.asarray(ids)
             lengths = np.asarray(lengths)
             conf = np.asarray(conf)
+            member_mode = ids.ndim == 3       # sequence voting: (N, B, L)
             for j in range(min(sz, n - done)):
-                texts.append(self._ctc.ids_to_text(
-                    ids[j], lengths[j], self._charset))
-                confs.append(float(conf[j]))
+                if member_mode:
+                    cands = [
+                        (self._ctc.ids_to_text(
+                            ids[m, j], lengths[m, j], self._charset),
+                         float(conf[m, j]))
+                        for m in range(ids.shape[0])]
+                    t, c = self._vote_texts(cands)
+                    texts.append(t)
+                    confs.append(c)
+                else:
+                    texts.append(self._ctc.ids_to_text(
+                        ids[j], lengths[j], self._charset))
+                    confs.append(float(conf[j]))
             done += sz
         return texts, confs
 
@@ -284,10 +329,20 @@ class RecognizerPredictor:
                     ids = np.asarray(ids)
                     lengths = np.asarray(lengths)
                     conf = np.asarray(conf)
+                    member_mode = ids.ndim == 3
                     for j, i in enumerate(part):
-                        texts[i] = self._ctc.ids_to_text(
-                            ids[j], lengths[j], self._charset)
-                        confs[i] = float(conf[j])
+                        if member_mode:
+                            cands = [
+                                (self._ctc.ids_to_text(
+                                    ids[m, j], lengths[m, j],
+                                    self._charset),
+                                 float(conf[m, j]))
+                                for m in range(ids.shape[0])]
+                            texts[i], confs[i] = self._vote_texts(cands)
+                        else:
+                            texts[i] = self._ctc.ids_to_text(
+                                ids[j], lengths[j], self._charset)
+                            confs[i] = float(conf[j])
                     continue
                 x = np.zeros((nb, self.line_height, bucket, 1),
                              np.float32)
@@ -299,13 +354,34 @@ class RecognizerPredictor:
                     sh = min(inv.shape[0], self.line_height)
                     x[j, :sh, :sw, 0] = inv[:sh, :sw]
                     w[j] = sw
+                import jax
+                if self._voting and self._vote == "sequence":
+                    # beam-decode every member separately, vote per
+                    # line (frame-averaging the members' distributions
+                    # measured CER 0.000 -> 0.041: CTC alignments
+                    # drift between members and the averaged peaks
+                    # smear)
+                    logps, pads = self._infer_members(
+                        self._params, jnp.asarray(x), jnp.asarray(w))
+                    logp = np.asarray(logps)
+                    pad_np = np.asarray(pads)
+                    for j, i in enumerate(part):
+                        cands = []
+                        for m in range(logp.shape[0]):
+                            T = int((pad_np[m, j] < 0.5).sum())
+                            text, score = self._ctc.beam_search_decode(
+                                logp[m, j, :T], self._charset,
+                                beam_width=self._beam_width)
+                            cands.append((text, float(np.exp(
+                                score / max(len(text), 1)))))
+                        texts[i], confs[i] = self._vote_texts(cands)
+                    continue
                 if self._voting:
                     logits, pad = self._infer_voted(
                         self._params, jnp.asarray(x), jnp.asarray(w))
                 else:
                     logits, pad = self._infer(
                         self._params, jnp.asarray(x), jnp.asarray(w))
-                import jax
                 logp = np.asarray(
                     jax.nn.log_softmax(logits, axis=-1))
                 pad_np = np.asarray(pad)
@@ -365,7 +441,8 @@ class OCRProcessor(BatchedProcessor):
                     members,
                     batch_size=self._opt.get("batch_size", 128),
                     decoder=self._opt.get("decoder", "greedy"),
-                    beam_width=self._opt.get("beam_width", 10))
+                    beam_width=self._opt.get("beam_width", 10),
+                    vote=self._opt.get("vote", "sequence"))
         return self._predictor
 
     def process_batch(self, pages):
@@ -458,6 +535,11 @@ class OCRProcessor(BatchedProcessor):
               default="greedy",
               help="device greedy decode vs host prefix beam search")
 @click.option("--beam-width", type=int, default=10)
+@click.option("--vote", type=click.Choice(["sequence", "frames"]),
+              default="sequence",
+              help="multi-model voting: per-line sequence vote "
+                   "(Calamari semantics) vs frame-distribution "
+                   "averaging (measured worse; comparison only)")
 @click.option("--ignored", type=str, default="regions/ILLUSTRATION")
 @click.argument("data_path", type=click.Path(exists=True), required=True)
 @Processor.options

@@ -350,7 +350,7 @@ def train_recognizer_synth(out_dir, steps=2000, batch=64, height=48,
 
 
 def eval_recognizer(model_dir, n=200, seed=123_456, height=None,
-                    decoder="greedy"):
+                    decoder="greedy", vote="sequence"):
     """Mean CER of the serving RecognizerPredictor on held-out synthetic
     lines (seed-disjoint from training by construction). ``model_dir``
     may be a list of model dirs — the multi-model voting mode
@@ -361,7 +361,7 @@ def eval_recognizer(model_dir, n=200, seed=123_456, height=None,
 
     dirs = ([Path(d) for d in model_dir]
             if isinstance(model_dir, (list, tuple)) else [Path(model_dir)])
-    predictor = RecognizerPredictor(dirs, decoder=decoder)
+    predictor = RecognizerPredictor(dirs, decoder=decoder, vote=vote)
     h = height or predictor.line_height
     strips, texts = [], []
     for i in range(n):

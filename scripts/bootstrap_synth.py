@@ -127,6 +127,11 @@ def main():
             report["ocr_voted_beam"] = bootstrap.eval_recognizer(
                 [work / "recognizer", work / "recognizer2"],
                 n=300, decoder="beam")
+            report["ocr_voted_frames"] = bootstrap.eval_recognizer(
+                [work / "recognizer", work / "recognizer2"],
+                n=300, decoder="beam", vote="frames")
+            report["ocr_voted_greedy"] = bootstrap.eval_recognizer(
+                [work / "recognizer", work / "recognizer2"], n=300)
             report["ocr_beam_single"] = bootstrap.eval_recognizer(
                 work / "recognizer", n=300, decoder="beam")
         report["eval_seconds"] = round(time.time() - t0, 1)

@@ -82,19 +82,29 @@ def score(corpus, name, gt_file):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="work/bootstrap3")
+    ap.add_argument("--students", default=None,
+                    help="override the students dir (e.g. a finetuned "
+                         "work/ft_p1872/students for holdout transfer)")
+    ap.add_argument("--recognizer", default=None)
+    ap.add_argument("--page", default=None,
+                    help="evaluate only this fixture (p1872/p1925)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     models = Path(args.models)
+    students = Path(args.students) if args.students else models / "students"
+    recognizer = (Path(args.recognizer) if args.recognizer
+                  else models / "recognizer")
+    pages = [p for p in PAGES if args.page in (None, p[0])]
 
     work = Path(tempfile.mkdtemp(prefix="origami_realscan_"))
     corpus = work / "corpus"
     corpus.mkdir(parents=True)
-    for name, png, _ in PAGES:
+    for name, png, _ in pages:
         shutil.copy(DATA / png, corpus / (name + ".png"))
     try:
-        run_chain(corpus, models / "students", models / "recognizer")
+        run_chain(corpus, students, recognizer)
         report = {name: score(corpus, name, gt)
-                  for name, _, gt in PAGES}
+                  for name, _, gt in pages}
         text = json.dumps(report, indent=2)
         print(text)
         if args.out:

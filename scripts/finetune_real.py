@@ -66,9 +66,9 @@ def build_corpus(out_dir, holdout, n_synth, seed):
         page = render_page(seed + i)
         stem = "synth%03d" % i
         PIL.Image.fromarray(page.image).save(out_dir / (stem + ".png"))
-        PIL.Image.fromarray(page.region_mask).save(
+        PIL.Image.fromarray(page.region_labels).save(
             out_dir / (stem + ".labels.region.png"))
-        PIL.Image.fromarray(page.sep_mask).save(
+        PIL.Image.fromarray(page.separator_labels).save(
             out_dir / (stem + ".labels.separator.png"))
     return real_stems
 

@@ -40,13 +40,14 @@ def main():
         shutil.rmtree(dst)
     for net in ("region", "separator"):
         s = src / "students" / net
+        # SegmentationPredictor expects member SUBDIRS
+        # (<group>/<k>/meta.json, core/predict.py); keep that layout
         if (s / "meta.json").exists():
-            repack(s, dst / "students" / net)
+            repack(s, dst / "students" / net / "00")
         else:
-            # students may be singleton subdirs (00/)
             for member in sorted(s.iterdir()):
                 if (member / "meta.json").exists():
-                    repack(member, dst / "students" / net)
+                    repack(member, dst / "students" / net / "00")
                     break
     repack(src / "recognizer", dst / "recognizer")
     # extra recognizer seeds (voting evaluation) ride along when present

@@ -14,7 +14,8 @@ ROOT = Path(__file__).parent.parent
 PRETRAINED = ROOT / "models_pretrained"
 
 pytestmark = pytest.mark.skipif(
-    not ((PRETRAINED / "students" / "region" / "meta.json").exists()
+    not ((PRETRAINED / "students" / "region" / "00"
+          / "meta.json").exists()
          and (PRETRAINED / "recognizer" / "meta.json").exists()),
     reason="models_pretrained/ not packed (scripts/pack_pretrained.py)")
 
@@ -50,12 +51,19 @@ def test_pretrained_student_segmentation_quality(tmp_path):
         lock_strategy="NONE", plain=True, target="speed")).traverse(corpus)
     seg = Segmentation.open(corpus / "p.out" / "segment.zip")
     reg = seg.by_name("regions")
-    pred_text = reg.labels == reg.classes["TEXT"].value
+    pred_text = np.asarray(reg.labels) == reg.classes["TEXT"].value
     gt_text = page.region_labels == 0
-    if pred_text.shape != gt_text.shape:       # stage may pad to 64 px
-        h = min(pred_text.shape[0], gt_text.shape[0])
-        w = min(pred_text.shape[1], gt_text.shape[1])
-        pred_text, gt_text = pred_text[:h, :w], gt_text[:h, :w]
+    if pred_text.shape != gt_text.shape:
+        # labels live at NET canvas resolution (the reference's
+        # segment.zip also stores net-size maps) — resize GT onto the
+        # prediction grid exactly like train.bootstrap.eval_segmentation
+        # (cropping compares misaligned grids and reads as a quality
+        # loss that isn't there)
+        import cv2
+        gt_text = cv2.resize(
+            gt_text.astype(np.uint8),
+            (pred_text.shape[1], pred_text.shape[0]),
+            interpolation=cv2.INTER_NEAREST).astype(bool)
     inter = float(np.logical_and(pred_text, gt_text).sum())
     union = float(np.logical_or(pred_text, gt_text).sum())
     assert union > 0 and inter / union > 0.80, inter / max(union, 1)
