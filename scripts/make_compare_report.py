@@ -241,7 +241,12 @@ def main():
                 ("greedy (seed 1)", "ocr"),
                 ("greedy (seed 2)", "ocr_seed2"),
                 ("beam, single model", "ocr_beam_single"),
-                ("voted beam (2 models)", "ocr_voted_beam")):
+                ("voted greedy (2 models, sequence vote)",
+                 "ocr_voted_greedy"),
+                ("voted beam (2 models, sequence vote)",
+                 "ocr_voted_beam"),
+                ("frame-averaged beam (2 models; retired — CTC "
+                 "alignment drift)", "ocr_voted_frames")):
             r = report.get(key)
             if r:
                 lines.append("| %s | %.4f | %.4f |" % (
