@@ -35,10 +35,18 @@ class SegmentationProcessor(BatchedProcessor):
 
     def _get_predictor(self):
         if self._predictor is None:
-            if str(self._model_path).lower() in ("heuristic", "fake"):
+            spec = str(self._model_path)
+            if spec.lower() in ("heuristic", "fake"):
                 from origami_tpu.core.predict import \
                     HeuristicSegmentationPredictor
                 self._predictor = HeuristicSegmentationPredictor()
+            elif spec.lower().startswith("auto:"):
+                # hybrid mode: trained students + per-page heuristic
+                # fallback on domain collapse (docs/migration.md)
+                from origami_tpu.core.predict import \
+                    AutoSegmentationPredictor
+                self._predictor = AutoSegmentationPredictor(
+                    spec[len("auto:"):], target=self._target)
             else:
                 from origami_tpu.core.predict import SegmentationPredictor
                 self._predictor = SegmentationPredictor(
@@ -63,8 +71,9 @@ class SegmentationProcessor(BatchedProcessor):
 
 @click.command()
 @click.option("-m", "--model", required=True, type=str,
-              help="models directory, or 'heuristic' for the model-free "
-                   "device segmenter")
+              help="models directory, 'heuristic' for the model-free "
+                   "device segmenter, or 'auto:<dir>' for trained models "
+                   "with per-page heuristic fallback on domain collapse")
 @click.option("-t", "--target", type=str, default="quality",
               help="speed (1 model per net) vs quality (full ensembles)")
 @click.option("-b", "--batch-size", type=int, default=8,

@@ -349,3 +349,88 @@ def test_headline_region_survives_area_filter():
                       C.FilterByArea(g.rel_area(0.0025)))
     polys = pipe(mask)
     assert len(polys) == 2
+
+
+def test_auto_segmentation_fallback_on_collapse():
+    """AutoSegmentationPredictor routes per page: trained output is kept
+    when its text regions explain the page's ink, the heuristic takes
+    over when the trained prediction collapses (near-empty labels)."""
+    from origami_tpu.core.predict import AutoSegmentationPredictor
+    from origami_tpu.core.segment import Prediction, Segmentation
+
+    rng = np.random.default_rng(0)
+    page = np.full((200, 160), 255, np.uint8)
+    # text block: dark speckle rows in the upper half
+    page[20:100, 20:140] = rng.choice(
+        [0, 255], size=(80, 120), p=[0.4, 0.6]).astype(np.uint8)
+
+    classes = {"TEXT": 0, "TABULAR": 1, "ILLUSTRATION": 2,
+               "BACKGROUND": 3}
+    sep_classes = {"H": 0, "V": 1, "T": 2, "BACKGROUND": 3}
+
+    def seg_with_text(cover):
+        reg = np.full((200, 160), 3, np.uint8)
+        if cover:
+            reg[10:110, 10:150] = 0
+        sep = np.full((200, 160), 3, np.uint8)
+        return Segmentation([
+            Prediction("REGION", "regions", reg, classes),
+            Prediction("SEPARATOR", "separators", sep, sep_classes)])
+
+    class FakeTrained:
+        def __init__(self, covers):
+            self._covers = covers
+
+        def predict_batch(self, pages):
+            return [seg_with_text(c) for c in self._covers]
+
+    class FakeHeuristic:
+        def __call__(self, page):
+            return seg_with_text(True)
+
+        def predict_batch(self, pages):
+            return [self(p) for p in pages]
+
+    # page 0: trained covers the ink -> kept; page 1: collapse -> fallback
+    pred = AutoSegmentationPredictor(
+        trained=FakeTrained([True, False]), heuristic=FakeHeuristic())
+    segs = pred.predict_batch([page, page])
+    assert pred.last_modes == ["trained", "heuristic"]
+    assert len(segs) == 2
+    # the fallback result still carries both predictor rasters
+    assert {p.name for p in segs[1].predictions} == \
+        {"regions", "separators"}
+
+    # blank page: no ink to explain -> trust the (empty) trained output
+    blank = np.full((200, 160), 255, np.uint8)
+    pred2 = AutoSegmentationPredictor(
+        trained=FakeTrained([False]), heuristic=FakeHeuristic())
+    pred2.predict_batch([blank])
+    assert pred2.last_modes == ["trained"]
+
+
+def test_auto_segmentation_sanitizes_unsupported_tabular():
+    """TABULAR components without T-separator support reclassify to
+    TEXT; components with table-column structure are kept."""
+    from origami_tpu.core.predict import AutoSegmentationPredictor
+    from origami_tpu.core.segment import Prediction, Segmentation
+
+    reg = np.full((100, 200), 3, np.uint8)
+    reg[10:40, 10:90] = 1      # genuine table (gets T dividers)
+    reg[60:90, 110:190] = 1    # hallucinated table (no T support)
+    sep = np.full((100, 200), 3, np.uint8)
+    sep[12:38, 30] = 0  # stray H
+    for x in (35, 60):  # column dividers in the genuine table
+        sep[10:40, x] = 2
+    seg = Segmentation([
+        Prediction("REGION", "regions", reg,
+                   {"TEXT": 0, "TABULAR": 1, "ILLUSTRATION": 2,
+                    "BACKGROUND": 3}),
+        Prediction("SEPARATOR", "separators", sep,
+                   {"H": 0, "V": 1, "T": 2, "BACKGROUND": 3})])
+    changed = AutoSegmentationPredictor.sanitize_tabular(
+        seg, min_t_density=0.012, min_area=100)
+    r = seg.by_name("regions")
+    assert changed == 30 * 80
+    assert r.labels[70, 150] == 0          # hallucination -> TEXT
+    assert r.labels[20, 20] == 1           # genuine table kept

@@ -67,3 +67,29 @@ def test_pretrained_student_segmentation_quality(tmp_path):
     inter = float(np.logical_and(pred_text, gt_text).sum())
     union = float(np.logical_or(pred_text, gt_text).sum())
     assert union > 0 and inter / union > 0.80, inter / max(union, 1)
+
+
+def test_pretrained_auto_mode_sanitizes_real_scan():
+    """Hybrid 'auto' segmentation on the real 1872 fixture: the
+    synthetic-trained students hallucinate TABULAR over the text
+    columns (docs/real_scan_eval_r04.json, unadapted recall 0.254);
+    AutoSegmentationPredictor must reclassify the unsupported TABULAR
+    components so the page keeps its trained TEXT regions (measured
+    chain recall 0.649 vs the 0.45 heuristic floor)."""
+    import numpy as np
+    import PIL.Image
+    from origami_tpu.core.predict import AutoSegmentationPredictor
+
+    page = np.asarray(PIL.Image.open(
+        ROOT / "tests" / "data" / "real_scan_1872.png").convert("L"))
+    pred = AutoSegmentationPredictor(
+        PRETRAINED / "students", target="speed")
+    seg = pred.predict_batch([page])[0]
+    assert pred.last_modes == ["trained"]
+    reg = seg.by_name("regions")
+    frac = dict()
+    for name in ("TEXT", "TABULAR"):
+        frac[name] = float(reg.class_mask(name).mean())
+    # raw prediction is ~21% TABULAR; sanitization must clear it
+    assert frac["TABULAR"] <= 0.01, frac
+    assert frac["TEXT"] >= 0.5, frac
