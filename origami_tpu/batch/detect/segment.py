@@ -66,6 +66,12 @@ class SegmentationProcessor(BatchedProcessor):
         segs = predictor.predict_batch(images)
         for (p, kwargs), seg in zip(pages, segs):
             kwargs["output"].segmentation(seg)
+        # auto mode: record the per-page trained/heuristic decision in
+        # runtime.json so fallbacks are auditable after a corpus run
+        modes = getattr(predictor, "last_modes", None)
+        if modes:
+            return {p: {"segmentation_mode": m}
+                    for (p, _), m in zip(pages, modes)}
         return {}
 
 
