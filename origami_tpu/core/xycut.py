@@ -106,7 +106,10 @@ def _axis_candidates(bounds, idx, axis, score, eps, min_extent=0.1):
         else:
             for g, i in zip(gaps, gap_i):
                 out.append((score(g), float(x0s[i]), axis, False))
-    ov = np.nonzero(valid & (act > 0))[0]
+    # a usable cut boundary needs content STRICTLY on both sides —
+    # the trailing edge (x0 = the subset's max end) slices nothing
+    # and must not compete as a zero-error candidate
+    ov = np.nonzero(valid & (act > 0) & (x0s < float(hi.max())))[0]
     if len(ov):
         # overlap error at boundary x0: sum over the items open there
         # of vext * distance to the nearer interval end. Openness via
@@ -119,7 +122,15 @@ def _axis_candidates(bounds, idx, axis, score, eps, min_extent=0.1):
                           np.abs(x0v - hi[None, :]))
                * vext[None, :] * open_m).sum(axis=1)
         for k, i in enumerate(ov):
-            out.append((-float(err[k]), float(x0s[i]), axis, True))
+            # zero penetration = intervals merely TOUCH at x0 (the
+            # sweep keeps coincident end/start boundaries active) — a
+            # clean cut in everything but the sweep's bookkeeping.
+            # Only a cut that actually slices into an item marks the
+            # node ambiguous; flagging touch-cuts as overlap made
+            # mode="grouped" flatten a whole 27-region page into one
+            # y-sorted line group (composed CER 0.71 on that page).
+            e = float(err[k])
+            out.append((-e, float(x0s[i]), axis, e > 0.0))
     return out
 
 

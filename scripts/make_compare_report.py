@@ -25,7 +25,8 @@ from pathlib import Path
 import numpy as np
 
 
-def run_pipeline(corpus, segment_model, recognizer, target="quality"):
+def run_pipeline(corpus, segment_model, recognizer, target="quality",
+                 ocr_extra=None):
     from origami_tpu.batch.detect.compose import ComposeProcessor
     from origami_tpu.batch.detect.contours import ContoursProcessor
     from origami_tpu.batch.detect.dewarp import DewarpProcessor
@@ -45,7 +46,8 @@ def run_pipeline(corpus, segment_model, recognizer, target="quality"):
         LayoutDetectionProcessor(dict(layout="bbz", **opts)),
         LineDetectionProcessor(opts),
         ReadingOrderProcessor(opts),
-        OCRProcessor(dict(model=str(recognizer), **opts)),
+        OCRProcessor(dict(model=str(recognizer), **(ocr_extra or {}),
+                          **opts)),
         ComposeProcessor(opts),
     ]
     for proc in stages:
@@ -147,11 +149,24 @@ def main():
 
     from origami_tpu.batch.utils.compare import compare_segmentation
 
+    # 2-member recognizer dir for the voted pipeline (OCRProcessor
+    # votes over every member subdir with a meta.json)
+    vote_dir = work / "recognizers_voted"
+    if not vote_dir.exists() and (work / "recognizer2").exists():
+        vote_dir.mkdir()
+        for i, src in enumerate((work / "recognizer",
+                                 work / "recognizer2")):
+            (vote_dir / str(i)).symlink_to(src.resolve())
+
     results = {}
-    for label, model, target in (
-            ("trained_quality", work / "models", "quality"),
-            ("student", work / "students", "speed"),
-            ("heuristic", "heuristic", "quality")):
+    chains = [
+        ("trained_quality", work / "models", "quality", None, None),
+        ("student", work / "students", "speed", None, None),
+        ("heuristic", "heuristic", "quality", None, None)]
+    if vote_dir.exists():
+        chains.append(("student_voted_beam", work / "students", "speed",
+                       vote_dir, dict(decoder="beam")))
+    for label, model, target, rec, ocr_extra in chains:
         corpus = work / ("pipeline_" + label)
         if corpus.exists():
             shutil.rmtree(corpus)
@@ -161,8 +176,8 @@ def main():
         for img in val_pages[: args.pages]:
             shutil.copy(img, corpus / img.name)
         t0 = time.time()
-        run_pipeline(corpus, str(model), work / "recognizer",
-                     target=target)
+        run_pipeline(corpus, str(model), rec or work / "recognizer",
+                     target=target, ocr_extra=ocr_extra)
         results[label] = dict(
             cer=pipeline_cer(corpus, work / "val"),
             composed_cer=composed_cer(corpus, work / "val"),

@@ -434,3 +434,25 @@ def test_auto_segmentation_sanitizes_unsupported_tabular():
     assert changed == 30 * 80
     assert r.labels[70, 150] == 0          # hallucination -> TEXT
     assert r.labels[20, 20] == 1           # genuine table kept
+
+
+def test_xycut_touching_bounds_are_not_ambiguity_groups():
+    """Items that exactly TOUCH on the sweep axis (a full-width header
+    above two columns) are a clean cut, not an overlap: grouped mode
+    must not flatten the page into one y-sorted group (the synth0005
+    composed-CER 0.71 regression)."""
+    from origami_tpu.core import xycut
+    boxes = [
+        ("head", (0, 0, 100, 10)),     # full width, ends at y=10
+        ("left", (0, 10, 45, 100)),    # starts exactly at y=10
+        ("right", (55, 10, 100, 100)),
+    ]
+    groups = xycut.reading_order(boxes, mode="grouped")
+    assert groups == [["head"], ["left"], ["right"]]
+    # genuine penetration still groups
+    boxes2 = [
+        ("a", (0, 0, 100, 55)),
+        ("b", (0, 45, 100, 100)),      # overlaps a by 10 in y
+    ]
+    groups2 = xycut.reading_order(boxes2, mode="grouped")
+    assert groups2 == [["a", "b"]]
