@@ -343,13 +343,40 @@ def render_line(seed, text=None, height=48, max_width=2000):
     top = base_y - int(fs * rng.uniform(0.85, 1.2))
     bottom = base_y + int(fs * rng.uniform(0.1, 0.5))
     arr = arr[max(top, 0): min(bottom, canvas_h)]
-    # scale to target height, preserve aspect
+    # x-margin jitter: serving strips are the detected ink extent with
+    # ~ZERO leading/trailing margin (LineExtractor keeps extents tight,
+    # batch/core/lines.py device_groups) while the fixed 8 px render
+    # margin above scales to 15-29 px at strip height — a recognizer
+    # trained only on comfortable margins drops the first/last glyph of
+    # tight strips (the r4 bad_text tail: "Diederthea" -> "iederthea")
     import cv2
+    cols = np.nonzero((arr < 160).any(axis=0))[0]
+    if len(cols):
+        ml, mr = rng.integers(0, 9, size=2)
+        x0 = max(int(cols[0]) - int(ml), 0)
+        x1 = min(int(cols[-1]) + 1 + int(mr), arr.shape[1])
+        arr = arr[:, x0:x1]
+    # scale to target height, preserve aspect
     scale = height / arr.shape[0]
     w = max(8, min(int(arr.shape[1] * scale), max_width))
     arr = cv2.resize(arr, (w, height),
                      interpolation=cv2.INTER_AREA if scale < 1
                      else cv2.INTER_LINEAR)
+    # resampling softness: serving strips are page ink that has been
+    # degraded, dewarped (bilinear) and magnified ~2-3.5x — visibly
+    # softer than a clean rendering. Half the pool gets an extra
+    # blur/down-up cycle so decode is resampling-invariant.
+    if rng.random() < 0.5:
+        if rng.random() < 0.5:
+            arr = cv2.GaussianBlur(arr, (0, 0),
+                                   sigmaX=rng.uniform(0.4, 1.1))
+        else:
+            f = rng.uniform(0.55, 0.85)
+            small = cv2.resize(arr, (max(8, int(w * f)),
+                                     max(8, int(height * f))),
+                               interpolation=cv2.INTER_AREA)
+            arr = cv2.resize(small, (w, height),
+                             interpolation=cv2.INTER_LINEAR)
     return arr, text
 
 
