@@ -301,10 +301,23 @@ def train_recognizer_synth(out_dir, steps=2000, batch=64, height=48,
     trainer = RecognizerTrainer(cfg, mesh=mesh, seed=seed)
 
     t0 = time.time()
-    pool = [render_line(seed * 100_000 + i, height=height)
-            for i in range(n_pool)]
-    log.info("[ocr] pool of %d strips rendered in %.1f s",
-             n_pool, time.time() - t0)
+    # half the pool straight from rendered DEGRADED pages with the
+    # serving band framing (train.synth.page_line_pool) — the true
+    # serving distribution; the renderer half adds text-length and
+    # margin/softness diversity beyond what the page generator emits
+    from origami_tpu.train.synth import page_line_pool
+    page_pool = page_line_pool(
+        n_pages=max(4, n_pool // 180), height=height,
+        seed=7_000_000 + seed)
+    rng_pool = np.random.default_rng(seed + 41)
+    if len(page_pool) > n_pool // 2:
+        sel = rng_pool.choice(len(page_pool), n_pool // 2, replace=False)
+        page_pool = [page_pool[i] for i in sel]
+    pool = page_pool + [
+        render_line(seed * 100_000 + i, height=height)
+        for i in range(n_pool - len(page_pool))]
+    log.info("[ocr] pool of %d strips (%d page-extracted) rendered "
+             "in %.1f s", len(pool), len(page_pool), time.time() - t0)
 
     # group the pool into width buckets and move it to device memory
     by_bucket = {}

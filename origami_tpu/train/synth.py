@@ -369,9 +369,9 @@ def render_line(seed, text=None, height=48, max_width=2000):
     if rng.random() < 0.5:
         if rng.random() < 0.5:
             arr = cv2.GaussianBlur(arr, (0, 0),
-                                   sigmaX=rng.uniform(0.4, 1.1))
+                                   sigmaX=rng.uniform(0.3, 0.9))
         else:
-            f = rng.uniform(0.55, 0.85)
+            f = rng.uniform(0.6, 0.9)
             small = cv2.resize(arr, (max(8, int(w * f)),
                                      max(8, int(height * f))),
                                interpolation=cv2.INTER_AREA)
@@ -384,3 +384,45 @@ def line_batch(seed, n, height=48):
     """A list of (strip, text) pairs for recognizer training."""
     return [render_line(seed * 100_000 + i, height=height)
             for i in range(n)]
+
+
+def page_line_pool(n_pages=40, height=48, seed=7_000_000,
+                   max_width=2000, min_width=12):
+    """(strip, text) pairs cut from rendered DEGRADED pages with the
+    serving band framing — the true serving distribution.
+
+    render_line approximates serving strips; this does not approximate:
+    glyphs at page scale with render_page's full scanner degradation
+    (tone curve, lighting, noise, specks), tight detected-ink x
+    extents, and the canonical BAND_PAD band framing the extractor
+    feeds the recognizer (core/block.py BAND_PAD, batch/core/lines.py
+    device_groups). Training on these closes the domain gap that
+    isolated-line eval (also render_line) cannot see."""
+    import cv2
+    from origami_tpu.core.block import BAND_PAD
+    pt, pb = BAND_PAD
+    pool = []
+    for p in range(n_pages):
+        page = render_page(seed + p)
+        img = page.image
+        H, W = img.shape
+        for line in page.lines:
+            x0, y0, x1, y1 = line.bbox
+            if x1 - x0 < min_width or y1 - y0 < 6:
+                continue
+            bh = y1 - y0
+            t = int(max(0, np.floor(y0 - pt * bh)))
+            b = int(min(H, np.ceil(y1 + pb * bh)))
+            l = int(max(0, np.floor(x0)))
+            r = int(min(W, np.ceil(x1)))
+            strip = img[t:b, l:r]
+            if strip.shape[0] < 6 or strip.shape[1] < 8:
+                continue
+            scale = height / strip.shape[0]
+            w = max(8, min(int(strip.shape[1] * scale), max_width))
+            strip = cv2.resize(
+                strip, (w, height),
+                interpolation=cv2.INTER_AREA if scale < 1
+                else cv2.INTER_LINEAR)
+            pool.append((strip, line.text))
+    return pool
