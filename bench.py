@@ -121,9 +121,15 @@ def _stages(recognizer_dir, seg_model="heuristic", seg_target="quality"):
 
 
 def bench_end_to_end(n_pages=6):
+    from origami_tpu.batch.core import prof
     from origami_tpu.batch.runner import PipelinedRunner
     from origami_tpu.models import registry
     from origami_tpu.train.synth import CHARSET
+
+    # per-stage span sub-breakdown (VERDICT r4 item 2: the driver's
+    # ocr stage_seconds must decompose so dev and driver numbers
+    # reconcile) — prof costs one dict lookup per span when idle
+    prof.enabled = True
 
     work = Path(tempfile.mkdtemp(prefix="origami_bench_"))
     try:
@@ -171,17 +177,26 @@ def bench_end_to_end(n_pages=6):
         # waves under host geometry) — the production path and the
         # headline.
         seq = []
+        stage_spans = {}
         for i, seed in enumerate((92_000_000, 93_000_000)):
             corpus = work / ("corpus%d" % i)
             _make_corpus(corpus, n_pages, seed=seed)
             per_stage = {}
             t_all = time.perf_counter()
             for name, proc in stages:
+                prof.reset()
                 t0 = time.perf_counter()
                 proc.traverse(corpus)
                 per_stage[name] = round(time.perf_counter() - t0, 2)
+                if i == 1:   # steady-state pass: persist sub-spans
+                    stage_spans[name] = prof.snapshot()
             total = time.perf_counter() - t_all
             seq.append((n_pages / total, per_stage))
+        import sys
+        for name, spans in stage_spans.items():
+            for k, (s, cnt) in spans.items():
+                print("span %-12s %-40s %8.3f s  x%d"
+                      % (name, k, s, cnt), file=sys.stderr)
 
         # the overlapped pass runs a LONGER corpus: with only two
         # waves the prologue/epilogue (unoverlapped segment of wave 0,
@@ -207,6 +222,8 @@ def bench_end_to_end(n_pages=6):
             overlapped_pps=overlapped_pps,
             sequential_pps=seq[1][0],
             stage_seconds=seq[1][1],
+            ocr_breakdown={k: v[0] for k, v in
+                           stage_spans.get("ocr", {}).items()},
             first_pass_pps=seq[0][0])
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -232,6 +249,7 @@ def main():
         segment_quality_ensemble_pages_per_sec=round(seg_pps, 3),
         segment_student_pages_per_sec=round(student_pps, 3),
         stage_seconds=e2e["stage_seconds"],
+        ocr_breakdown=e2e["ocr_breakdown"],
         host_cores=os.cpu_count())))
 
 

@@ -226,9 +226,13 @@ class RecognizerPredictor:
         return outs, n
 
     def _vote_texts(self, cands):
-        """Sequence-level vote: majority text among the members, mean
-        member confidence breaking ties (Calamari MultiPredictor
-        semantics, reference origami/batch/detect/ocr.py:33-67)."""
+        """Sequence-level approximation of Calamari voting (reference
+        origami/batch/detect/ocr.py:33-67): majority text among the
+        members, mean member confidence breaking ties. Calamari's
+        ConfidenceVoter votes per character position across aligned
+        candidates; with a 2-member ensemble every disagreement here is
+        a 1-1 tie, so the vote reduces to highest-mean-confidence
+        selection (ADVICE r4)."""
         import collections
         counts = collections.Counter(t for t, _ in cands)
         top = max(counts.values())
@@ -472,8 +476,9 @@ class OCRProcessor(BatchedProcessor):
                 continue
             device_ok = (extractor.binarizer is None
                          and hasattr(predictor, "predict_device_deferred"))
-            for paths, dev, widths, wmax in \
-                    extractor.device_groups(parts):
+            with span("ocr.collect_groups"):
+                groups_iter = list(extractor.device_groups(parts))
+            for paths, dev, widths, wmax in groups_iter:
                 if device_ok and predictor.supports_device_strips(
                         wmax, extractor.bucket_cap):
                     # collect only — recognition is dispatched per

@@ -25,11 +25,16 @@ def _load():
         return _LIB
     _TRIED = True
     so = _DIR / "liborigami_native.so"
-    if not so.exists():
-        try:
-            subprocess.run(["make", "-C", str(_DIR)], check=True,
-                           capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError):
+    # run make UNCONDITIONALLY: the target is dependency-checked (a
+    # no-op when fresh), and a prebuilt .so predating newly added
+    # symbols (douglas_peucker, chamfer_edt, ...) would otherwise make
+    # the _bind_* helpers raise AttributeError instead of the callers
+    # falling back to Python (ADVICE r4)
+    try:
+        subprocess.run(["make", "-C", str(_DIR)], check=True,
+                       capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        if not so.exists():
             return None
     try:
         lib = ctypes.CDLL(str(so))
@@ -181,6 +186,16 @@ def polygon_overlay_native(ring_groups, op):
     return [polys[k] for k in sorted(polys)]
 
 
+def _bind(binder, lib):
+    """Run a _bind_* helper; False when the loaded .so predates the
+    symbol (stale build) so callers fall back to Python (ADVICE r4)."""
+    try:
+        binder(lib)
+        return True
+    except AttributeError:
+        return False
+
+
 def _bind_dist(lib):
     if getattr(lib, "_dist_bound", False):
         return
@@ -199,7 +214,8 @@ def min_seg_dist_native(segs_a, segs_b, cutoff=0.0):
     lib = _load()
     if lib is None:
         return None
-    _bind_dist(lib)
+    if not _bind(_bind_dist, lib):
+        return None
     sa = np.ascontiguousarray(segs_a, np.float64)
     sb = np.ascontiguousarray(segs_b, np.float64)
     return float(lib.min_seg_dist(
@@ -228,7 +244,8 @@ def thin_mask_native(mask, max_iter=128):
     lib = _load()
     if lib is None:
         return None
-    _bind_thin(lib)
+    if not _bind(_bind_thin, lib):
+        return None
     img = np.ascontiguousarray(mask, np.uint8)
     img = (img > 0).astype(np.uint8)
     h, w = img.shape
@@ -244,7 +261,8 @@ def chamfer_edt_native(mask):
     lib = _load()
     if lib is None:
         return None
-    _bind_thin(lib)
+    if not _bind(_bind_thin, lib):
+        return None
     src = (np.ascontiguousarray(mask, np.uint8) > 0).astype(np.uint8)
     h, w = src.shape
     out = np.empty((h, w), np.float32)
@@ -270,7 +288,8 @@ def douglas_peucker_native(coords, tol):
     lib = _load()
     if lib is None:
         return None
-    _bind_dp(lib)
+    if not _bind(_bind_dp, lib):
+        return None
     c = np.ascontiguousarray(coords, np.float64)
     n = len(c)
     keep = np.empty(n, np.uint8)

@@ -5,19 +5,49 @@ full detect chain, and the artifact chain they produce must hit quality
 floors on a synthetic-GT page — the suite exercises the product models,
 not just the heuristic scaffold."""
 
+import subprocess
 import sys
 from pathlib import Path
-
-import pytest
 
 ROOT = Path(__file__).parent.parent
 PRETRAINED = ROOT / "models_pretrained"
 
-pytestmark = pytest.mark.skipif(
-    not ((PRETRAINED / "students" / "region" / "00"
-          / "meta.json").exists()
-         and (PRETRAINED / "recognizer" / "meta.json").exists()),
-    reason="models_pretrained/ not packed (scripts/pack_pretrained.py)")
+# the pack ships in-tree (committed, VERDICT r4 item 1): its absence is
+# a release failure, so these tests FAIL (never skip) when it's gone —
+# the r3 and r4 rounds both lost the pack to silent skips.
+PACK_FILES = [
+    PRETRAINED / "recognizer" / "meta.json",
+    PRETRAINED / "recognizer" / "params.msgpack",
+    PRETRAINED / "recognizer2" / "meta.json",
+    PRETRAINED / "recognizer2" / "params.msgpack",
+    PRETRAINED / "students" / "region" / "00" / "meta.json",
+    PRETRAINED / "students" / "region" / "00" / "params.msgpack",
+    PRETRAINED / "students" / "separator" / "00" / "meta.json",
+    PRETRAINED / "students" / "separator" / "00" / "params.msgpack",
+]
+
+
+def test_pretrained_pack_shipped():
+    """The product models must be (a) on disk and (b) tracked by git —
+    an untracked working-tree copy benches fine locally but vanishes
+    from a clean clone (the exact r4 failure: snapshot commit 7d64901
+    deleted what f5abd2e added)."""
+    missing = [str(p.relative_to(ROOT)) for p in PACK_FILES
+               if not p.exists()]
+    assert not missing, (
+        "models_pretrained/ is missing files %s — the shipped product "
+        "pack must exist in every checkout (scripts/pack_pretrained.py "
+        "rebuilds it from a training bootstrap)" % missing)
+    if (ROOT / ".git").exists():
+        tracked = subprocess.run(
+            ["git", "-C", str(ROOT), "ls-files", "models_pretrained"],
+            capture_output=True, text=True).stdout.splitlines()
+        untracked = [str(p.relative_to(ROOT)) for p in PACK_FILES
+                     if str(p.relative_to(ROOT)) not in tracked]
+        assert not untracked, (
+            "models_pretrained files exist but are NOT tracked by git "
+            "(%s): a clean clone would ship without the product — "
+            "git add models_pretrained/" % untracked)
 
 
 def test_pretrained_student_chain(tmp_path):
