@@ -230,6 +230,12 @@ def bench_end_to_end(n_pages=6):
 
 
 def main():
+    # the flagship jits below bypass Processor.traverse, which is what
+    # normally enables the persistent compile cache — without this the
+    # ensemble graphs recompile ~minutes through the remote compiler
+    # on EVERY bench process
+    from origami_tpu.parallel.cache import ensure_compilation_cache
+    ensure_compilation_cache()
     seg_pps = bench_segmentation(n_models_per_net=5)
     # distilled-student mode: 1 model per predictor at ensemble-level
     # quality (measured IoU parity, COMPARE_r02.md) — the recommended

@@ -170,59 +170,53 @@ class RecognizerPredictor:
 
     def predict_device_deferred_multi(self, parts):
         """Dispatch recognition over several on-device strip groups of
-        the SAME width bucket — e.g. one group per page of a batch —
-        as one concatenated chunked batch, WITHOUT blocking;
-        finalize_device() reads the results (texts in part order).
+        the same width bucket — e.g. one group per page of a batch —
+        WITHOUT blocking; finalize_device() reads the results (texts
+        in part order).
 
-        Cross-group concatenation keeps the recognizer chunks full: a
-        page rarely fills a 128-line batch on its own, and a padded
-        chunk costs the full LSTM time regardless of how many rows are
-        real. Deferring the materialization lets every chain queue on
-        the device while the host prepares the next page.
+        Every dispatch must hit a graph warm_buckets already compiled:
+        the LSTM graph compiles in MINUTES through the remote TPU
+        compiler, and even the "trivial" concat/pad/slice data-
+        movement graphs the previous design built around it were shape-
+        parametrized by the per-call (group count x group sizes)
+        combination — every fresh combination minted remote compiles
+        in the middle of production OCR (measured 102 s of 'dispatch'
+        for 6 pages, bench r5; sub-second graphs aren't even persisted
+        to the disk cache, so every process repaid them). Instead each
+        part is dispatched DIRECTLY at its own static ladder shape
+        (the extractor pads groups to nb in {32, 64, 128, ...} and
+        widths to the 256-px bucket ladder): zero shape-varying ops,
+        zero graphs beyond warm_buckets' set. An underfilled 32/64-row
+        chunk costs far less than a single stray compile (0.14 s vs
+        0.35 s for a full 128-row chunk at bucket 2048).
 
-        The LSTM graph compiles in MINUTES through the remote TPU
-        compiler, so it must only ever see STATIC shapes: the batch is
-        device-padded/sliced to (batch_size, H, bucket) chunks with
-        bucket in the power-of-two width ladder — at most
-        len(buckets) recognizer compiles for the process lifetime.
-        The concat/pad/slice graphs around it are trivial data
-        movement.
-
-        parts: [(strips_dev (nb_i, H, W) uint8, widths (n_i,))].
+        parts: [(strips_dev (nb_i, H, W) uint8, widths (n_i,))];
+        rows past n_i are padding the extractor materialized anyway.
         """
         import jax.numpy as jnp
-        from origami_tpu.models.recognizer import strip_width_bucket
-        w_in = parts[0][0].shape[2]
-        # the extractor already emits ladder widths, so this is a
-        # no-op pad in the production path
-        bucket = strip_width_bucket(w_in)
         B = self._batch_size
-        n = sum(len(w) for _, w in parts)
-        # chunk sizes: full batches plus one tail batch off a small
-        # static ladder — a 14-line tail once ran as a full 128-row
-        # LSTM chunk (~20% of all chunk rows were tail padding)
-        sizes = [B] * (max(n, 1) // B)
-        tail = max(n, 1) - len(sizes) * B
-        if tail:
-            sizes.append(min(s for s in (32, 64, B) if s >= tail))
-        total = sum(sizes)
-        segs = [d[: len(wd)] for d, wd in parts]
-        dev = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=0)
-        nb = dev.shape[0]
-        if w_in < bucket or nb < total:
-            dev = jnp.pad(dev, ((0, max(total - nb, 0)),
-                                (0, 0), (0, bucket - w_in)),
-                          constant_values=255)
-        w = np.ones((total,), np.float32)
-        w[:n] = np.concatenate([np.asarray(wd, np.float32)
-                                for _, wd in parts])
-        outs = []
-        off = 0
-        for sz in sizes:
-            outs.append((sz, self._recognize_u8(
-                self._params, dev[off: off + sz],
-                jnp.asarray(w[off: off + sz]))))
-            off += sz
+        outs = []              # (n_valid, deferred result) in row order
+        n = 0
+        for dev, wd in parts:
+            nb = dev.shape[0]
+            n_i = len(wd)
+            n += n_i
+            w = np.ones((nb,), np.float32)
+            w[:n_i] = np.asarray(wd, np.float32)
+            if nb <= B:
+                outs.append((n_i, self._recognize_u8(
+                    self._params, dev, jnp.asarray(w))))
+                continue
+            # oversize group (>B lines in one page/bucket/profile
+            # group — rare): static B-row slices; each (nb, off) pair
+            # is one small slice graph, compiled on first hit
+            for off in range(0, nb, B):
+                valid = min(max(n_i - off, 0), B)
+                if valid == 0:
+                    break
+                outs.append((valid, self._recognize_u8(
+                    self._params, dev[off: off + B],
+                    jnp.asarray(w[off: off + B]))))
         return outs, n
 
     def _vote_texts(self, cands):
@@ -247,16 +241,17 @@ class RecognizerPredictor:
         return text, max(c for tt, c in cands if tt == text)
 
     def finalize_device(self, deferred):
-        """(texts, confs) for a predict_device_deferred result."""
+        """(texts, confs) for a predict_device_deferred result: each
+        chunk's first n_valid rows are real, the rest is ladder
+        padding."""
         outs, n = deferred
         texts, confs = [], []
-        done = 0
-        for sz, (ids, lengths, conf) in outs:
+        for n_valid, (ids, lengths, conf) in outs:
             ids = np.asarray(ids)
             lengths = np.asarray(lengths)
             conf = np.asarray(conf)
             member_mode = ids.ndim == 3       # sequence voting: (N, B, L)
-            for j in range(min(sz, n - done)):
+            for j in range(n_valid):
                 if member_mode:
                     cands = [
                         (self._ctc.ids_to_text(
@@ -270,7 +265,6 @@ class RecognizerPredictor:
                     texts.append(self._ctc.ids_to_text(
                         ids[j], lengths[j], self._charset))
                     confs.append(float(conf[j]))
-            done += sz
         return texts, confs
 
     def predict_device(self, strips_dev, widths, n):

@@ -59,12 +59,22 @@ def pipeline_cer(corpus, gt_dir):
     rewarped baseline proximity. Table rows are matched as their
     per-column cells (diagnose_pipeline.load_detected applies the OCR
     stage's LineRewriter re-keying — without it every table cell reads
-    as a recall miss)."""
+    as a recall miss).
+
+    Also attributes the composed-page CER gap (VERDICT r4 weak-6: the
+    heuristic chain composed 0.1049 vs per-line 0.0215 — where do the
+    other points go?): `order_free_cer` re-composes the MATCHED
+    detected texts in GT order (so composed − order_free = reading-
+    order loss) and `spurious_chars_frac` counts detected-text
+    characters never matched to any GT line (pure insertions in the
+    composed stream)."""
     from origami_tpu.batch.utils.evaluate import cer
     import diagnose_pipeline as diag
 
     cers = []
     n_gt = n_matched = 0
+    order_free_cers = []
+    spurious_chars = total_det_chars = 0
     for img in sorted(Path(corpus).glob("*.png")):
         if ".labels." in img.name:
             continue
@@ -78,27 +88,50 @@ def pipeline_cer(corpus, gt_dir):
                if text is not None]
         heights = [l["bbox"][3] - l["bbox"][1] for l in gt["lines"]]
         tol = 0.75 * float(np.median(heights))
+        matched_texts = []       # per GT line, in GT order
+        used = set()
         for line in gt["lines"]:
             (x0, y), (x1, _) = line["baseline"]
-            if x1 - x0 < 60:
-                continue
-            n_gt += 1
+            narrow = x1 - x0 < 60
             mx, my = (x0 + x1) / 2.0, y
             best = None
-            for bl, text in det:
+            for di, (bl, text) in enumerate(det):
                 bx0, bx1 = bl[:, 0].min(), bl[:, 0].max()
                 if not (bx0 - tol <= mx <= bx1 + tol):
                     continue
                 by = float(np.interp(mx, bl[:, 0], bl[:, 1]))
                 d = abs(by - my)
                 if d <= tol and (best is None or d < best[0]):
-                    best = (d, text)
+                    best = (d, text, di)
+            if best is not None:
+                # narrow GT lines don't score, but they do CLAIM their
+                # detected line so it isn't miscounted as spurious
+                used.add(best[2])
+            if narrow:
+                continue
+            n_gt += 1
             if best is not None:
                 n_matched += 1
                 cers.append(cer(line["text"], best[1]))
+                matched_texts.append(best[1])
+            else:
+                matched_texts.append("")
+        gt_text = "\n".join(
+            line["text"] for line in gt["lines"]
+            if line["baseline"][1][0] - line["baseline"][0][0] >= 60)
+        if gt_text:
+            order_free_cers.append(
+                cer(gt_text, "\n".join(t for t in matched_texts if t)))
+        total_det_chars += sum(len(t) for _, t in det)
+        spurious_chars += sum(len(t) for di, (_, t) in enumerate(det)
+                              if di not in used)
     return dict(
         cer=float(np.mean(cers)) if cers else None,
         cer_median=float(np.median(cers)) if cers else None,
+        order_free_cer=(float(np.mean(order_free_cers))
+                        if order_free_cers else None),
+        spurious_chars_frac=(spurious_chars / total_det_chars
+                             if total_det_chars else 0.0),
         line_recall=n_matched / max(n_gt, 1), n_gt=n_gt)
 
 
@@ -141,8 +174,11 @@ def fmt_iou(d):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", default="work/bootstrap")
-    ap.add_argument("--out", default="COMPARE_r03.md")
+    ap.add_argument("--out", default="COMPARE_r05.md")
     ap.add_argument("--pages", type=int, default=4)
+    ap.add_argument("--with-beam", action="store_true",
+                    help="also run the voted-beam pipeline (slow: host "
+                         "beam decode per member per line)")
     args = ap.parse_args()
     work = Path(args.work)
     report = json.loads((work / "report.json").read_text())
@@ -164,6 +200,13 @@ def main():
         ("student", work / "students", "speed", None, None),
         ("heuristic", "heuristic", "quality", None, None)]
     if vote_dir.exists():
+        # the SHIPPABLE voting mode (VERDICT r4 item 6): every member
+        # greedy-decodes ON DEVICE (vmapped over the stacked params),
+        # sequence vote on host — runs the same device strip path as
+        # single-seed, unlike voted-beam's 148 s/page host decode
+        chains.append(("student_voted", work / "students", "speed",
+                       vote_dir, None))
+    if vote_dir.exists() and args.with_beam:
         chains.append(("student_voted_beam", work / "students", "speed",
                        vote_dir, dict(decoder="beam")))
     for label, model, target, rec, ocr_extra in chains:
@@ -269,18 +312,27 @@ def main():
     lines += ["",
               "## Full pipeline on val pages (segment -> compose)",
               "",
+              "composed CER = the page.txt stream (recognition AND "
+              "reading order); order-free CER = matched lines "
+              "re-composed in GT order (composed − order-free = "
+              "reading-order loss); spurious = detected-text chars "
+              "never matched to a GT line (insertions).",
+              "",
               "| pipeline | line recall | CER mean | CER median | "
-              "composed CER | s/page |",
-              "|---|---|---|---|---|---|"]
+              "composed CER | order-free CER | spurious | s/page |",
+              "|---|---|---|---|---|---|---|---|"]
     for label, r in results.items():
         c = r["cer"]
-        lines.append("| %s | %.3f | %s | %s | %s | %.1f |" % (
+        lines.append("| %s | %.3f | %s | %s | %s | %s | %s | %.1f |" % (
             label, c["line_recall"],
             "%.4f" % c["cer"] if c["cer"] is not None else "-",
             "%.4f" % c["cer_median"] if c["cer_median"] is not None
             else "-",
             "%.4f" % r["composed_cer"]
             if r.get("composed_cer") is not None else "-",
+            "%.4f" % c["order_free_cer"]
+            if c.get("order_free_cer") is not None else "-",
+            "%.1f%%" % (100 * c.get("spurious_chars_frac", 0.0)),
             r["seconds_per_page"]))
     if seg_diffs:
         mean_text = float(np.mean(
