@@ -121,6 +121,81 @@ def match_baselines(gt_lines, detected, min_overlap=0.4):
     return out
 
 
+def gt_zones(gt_lines, pad_x=12.0, pad_y_factor=2.0):
+    """Evaluation zones for partially-annotated GT.
+
+    When GT lines carry a ``band`` key, only those sub-bands of the
+    page are annotated (e.g. the 1925 BBZ fixture annotates 4 marker-
+    free column bands of a page with ~6x more real text lines), so
+    precision must be zone-limited: detections outside every band are
+    legitimate lines the GT simply does not cover, not false
+    positives. Returns ``[(x0, y0, x1, y1), ...]`` — one padded bbox
+    per band — or ``None`` when the GT is full-page (no bands).
+    """
+    bands = {}
+    for g in gt_lines:
+        b = g.get("band")
+        if b is None:
+            return None
+        bands.setdefault(b, []).append(g)
+    zones = []
+    for ls in bands.values():
+        pad_y = pad_y_factor * float(np.median([g["h"] for g in ls]))
+        zones.append((min(g["x0"] for g in ls) - pad_x,
+                      min(g["y"] for g in ls) - pad_y,
+                      max(g["x1"] for g in ls) + pad_x,
+                      max(g["y"] for g in ls) + pad_y))
+    return zones
+
+
+def match_detections(gt_lines, detected, zones=None, min_overlap=0.4):
+    """Per-DETECTION matching: the precision-side complement of
+    match_baselines (which is per-GT-line, i.e. recall-side).
+
+    A detection is a true positive when some GT line x-overlaps it (by
+    the same criterion as match_baselines) and the vertical gap at the
+    overlap midpoint is within that GT line's tolerance
+    (max(0.5*h, 4) px). With ``zones`` (see gt_zones), detections
+    whose midpoint falls outside every zone are excluded from the
+    denominator entirely.
+
+    Returns ``dict(n_considered, n_true, n_out_of_zone, precision)``.
+    """
+    n_true = 0
+    n_considered = 0
+    n_out = 0
+    for pts in detected:
+        pts = np.asarray(pts, float)
+        if len(pts) < 2:
+            continue
+        o = np.argsort(pts[:, 0])
+        pts = pts[o]
+        xm_det = 0.5 * (pts[0, 0] + pts[-1, 0])
+        ym_det = float(np.interp(xm_det, pts[:, 0], pts[:, 1]))
+        if zones is not None and not any(
+                x0 <= xm_det <= x1 and y0 <= ym_det <= y1
+                for x0, y0, x1, y1 in zones):
+            n_out += 1
+            continue
+        n_considered += 1
+        for gt in gt_lines:
+            span = max(1.0, gt["x1"] - gt["x0"])
+            lo = max(gt["x0"], pts[0, 0])
+            hi = min(gt["x1"], pts[-1, 0])
+            need = max(25.0, min_overlap
+                       * min(span, pts[-1, 0] - pts[0, 0]))
+            if hi - lo < need:
+                continue
+            xm = 0.5 * (lo + hi)
+            yd = float(np.interp(xm, pts[:, 0], pts[:, 1]))
+            if abs(yd - gt["y"]) <= max(0.5 * gt["h"], 4.0):
+                n_true += 1
+                break
+    return dict(
+        n_considered=n_considered, n_true=n_true, n_out_of_zone=n_out,
+        precision=(n_true / n_considered) if n_considered else 0.0)
+
+
 def _page_xml_text(data):
     from lxml import etree
     root = etree.fromstring(data)

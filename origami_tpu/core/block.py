@@ -389,6 +389,16 @@ class Regions:
         return len(self._blocks)
 
 
+# (path, mtime_ns, size) -> (meta, [(parts, info, polygon)]): stages
+# downstream of flow/lines each re-open the same lines zip (layout,
+# order, ocr, compose); the JSON + WKT parsing was ~0.5 s/stage over
+# 6 bench pages. Polygons are immutable repo-wide (same convention as
+# io._CONTOURS_PARSE_CACHE), so sharing them across Line instances is
+# safe; Line objects themselves are rebuilt per call (they bind the
+# caller's Block and carry mutable confidence).
+_LINES_PARSE_CACHE = {}
+
+
 class Lines:
     """Lines keyed by path tuple ("regions", "TEXT", "0", "3")."""
 
@@ -397,10 +407,21 @@ class Lines:
         self._meta = meta or dict(version=1)
 
     @staticmethod
-    def open(path, regions, open=open):
-        blocks = regions.by_path
-        lines = {}
+    def _parse_zip(path, open=open):
+        import builtins
+        import os
+        key = None
+        if open is builtins.open:
+            try:
+                st = os.stat(path)
+                key = (str(path), st.st_mtime_ns, st.st_size)
+            except OSError:
+                key = None
+            hit = _LINES_PARSE_CACHE.get(key)
+            if hit is not None:
+                return hit
         meta = dict(version=1)
+        entries = []
         with open(path, "rb") as f:
             with zipfile.ZipFile(f, "r") as zf:
                 for name in zf.namelist():
@@ -410,11 +431,32 @@ class Lines:
                     if not name.endswith(".json"):
                         continue
                     parts = tuple(name[:-5].split("/"))
-                    block = blocks.get(tuple(parts[:3]))
-                    if block is None:
-                        continue
                     info = json.loads(zf.read(name))
-                    lines[parts] = Line(block, **info)
+                    poly = G.wkt.loads(info["wkt"]) \
+                        if info.get("wkt") else None
+                    entries.append((parts, info, poly))
+        if key is not None:
+            if len(_LINES_PARSE_CACHE) > 64:
+                _LINES_PARSE_CACHE.clear()
+            _LINES_PARSE_CACHE[key] = (meta, entries)
+        return meta, entries
+
+    @staticmethod
+    def open(path, regions, open=open):
+        blocks = regions.by_path
+        meta, entries = Lines._parse_zip(path, open=open)
+        lines = {}
+        for parts, info, poly in entries:
+            block = blocks.get(tuple(parts[:3]))
+            if block is None:
+                continue
+            if poly is not None:
+                info = dict(info, wkt=None)
+                line = Line(block, **info)
+                line._polygon = poly
+            else:
+                line = Line(block, **info)
+            lines[parts] = line
         return Lines(lines, meta)
 
     def save(self, zf, min_confidence=None):

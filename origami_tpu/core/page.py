@@ -44,9 +44,27 @@ _DEWARPED_LRU = collections.OrderedDict()
 # tunnel costs ~0.2 s per stage per page
 _DEVICE_PIXELS_LRU = collections.OrderedDict()
 
+# (path, mtime) -> decoded grayscale pixels: PNG decode is ~50 ms/page
+# and EVERY stage constructs its own Page (profiled at 0.3-0.6 s/stage
+# over 6 pages); the order stage only ever needs the page SIZE, so
+# decode is also lazy (PIL reads w/h from the header without decoding)
+_PIXELS_LRU = collections.OrderedDict()
+
+# (path, mtime, space_key) -> binarized bool mask: Sauvola runs on
+# device and the unpacked result is re-derived per stage otherwise
+# (flow + layout + lines each paid the dispatch + tunnel transfer)
+_BINARIZED_LRU = collections.OrderedDict()
+
+
+def _lru_put(lru, key, value, cap=12):
+    lru[key] = value
+    while len(lru) > cap:
+        lru.popitem(last=False)
+
 
 class Page:
     def __init__(self, path=None, dewarping_grid=None, pixels=None):
+        self._lazy_size = None
         if pixels is not None:
             self._pixels = np.asarray(pixels)
             if self._pixels.ndim == 3:
@@ -55,9 +73,26 @@ class Page:
             self._path = Path(path) if path else None
         else:
             self._path = find_image_path(path)
-            self._pixels = np.asarray(
-                PIL.Image.open(str(self._path)).convert("L"))
+            self._pixels = None          # decoded lazily, LRU-cached
         self._grid = dewarping_grid
+
+    def _file_key(self, *extra):
+        if self._path is None:
+            return None
+        try:
+            return (str(self._path), self._path.stat().st_mtime) + extra
+        except OSError:
+            return None
+
+    def _decode(self):
+        key = self._file_key()
+        if key is not None and key in _PIXELS_LRU:
+            _PIXELS_LRU.move_to_end(key)
+            return _PIXELS_LRU[key]
+        px = np.asarray(PIL.Image.open(str(self._path)).convert("L"))
+        if key is not None:
+            _lru_put(_PIXELS_LRU, key, px)
+        return px
 
     @property
     def path(self):
@@ -65,6 +100,8 @@ class Page:
 
     @property
     def warped(self):
+        if self._pixels is None:
+            self._pixels = self._decode()
         return self._pixels
 
     def _dewarped_slot(self):
@@ -74,27 +111,25 @@ class Page:
         # identity so layout/lines/ocr reuse dewarp's work. The slot
         # holds the DEVICE array (what on-device consumers need) and
         # lazily materializes the host copy at most once.
-        key = None
-        if self._path is not None:
-            try:
-                g = self._grid
-                fp = (g.resolution, g._hv.shape,
-                      float(g._hv.sum()), float(g._hv[-1, -1].sum()))
-                key = (str(self._path), self._path.stat().st_mtime, fp)
-            except (OSError, AttributeError):
-                key = None
+        key = self._file_key(self._grid_fp())
         if key is not None and key in _DEWARPED_LRU:
             _DEWARPED_LRU.move_to_end(key)
             return _DEWARPED_LRU[key]
         from origami_tpu.core.dewarp import Dewarper
         slot = {"dev": Dewarper(self.device_pixels, self._grid,
-                                shape=self._pixels.shape).dewarped_dev,
+                                shape=self.warped.shape).dewarped_dev,
                 "host": None}
         if key is not None:
-            _DEWARPED_LRU[key] = slot
-            while len(_DEWARPED_LRU) > 12:
-                _DEWARPED_LRU.popitem(last=False)
+            _lru_put(_DEWARPED_LRU, key, slot)
         return slot
+
+    def _grid_fp(self):
+        try:
+            g = self._grid
+            return (g.resolution, g._hv.shape,
+                    float(g._hv.sum()), float(g._hv[-1, -1].sum()))
+        except AttributeError:
+            return None
 
     @property
     def dewarped_dev(self):
@@ -117,7 +152,7 @@ class Page:
         if self._grid is None:
             return None
         from origami_tpu.core.dewarp import Dewarper
-        return Dewarper(self._pixels, self._grid)
+        return Dewarper(self.warped, self._grid)
 
     @property
     def grid(self):
@@ -132,6 +167,13 @@ class Page:
             hv = self._grid._hv
             res = self._grid.resolution
             return (int(hv.shape[1] * res), int(hv.shape[0] * res))
+        if self._pixels is None:
+            # header-only read: the order stage needs the page size but
+            # never its pixels — don't force a decode for it
+            if self._lazy_size is None:
+                with PIL.Image.open(str(self._path)) as im:
+                    self._lazy_size = im.size
+            return self._lazy_size
         h, w = self._pixels.shape[:2]
         return (w, h)
 
@@ -139,42 +181,49 @@ class Page:
         return Geometry(*self.size(dewarped))
 
     def pixels(self, dewarped=False):
-        return self.dewarped if dewarped else self._pixels
+        return self.dewarped if dewarped else self.warped
 
     @cached_property
     def device_pixels(self):
         import jax.numpy as jnp
-        key = None
-        if self._path is not None:
-            try:
-                key = (str(self._path), self._path.stat().st_mtime,
-                       self._pixels.shape)
-            except OSError:
-                key = None
+        key = self._file_key()
         if key is not None and key in _DEVICE_PIXELS_LRU:
             _DEVICE_PIXELS_LRU.move_to_end(key)
             return _DEVICE_PIXELS_LRU[key]
-        dev = jnp.asarray(self._pixels)
+        dev = jnp.asarray(self.warped)
         if key is not None:
-            _DEVICE_PIXELS_LRU[key] = dev
-            while len(_DEVICE_PIXELS_LRU) > 12:
-                _DEVICE_PIXELS_LRU.popitem(last=False)
+            _lru_put(_DEVICE_PIXELS_LRU, key, dev)
         return dev
 
     @cached_property
     def binarized(self):
         """Sauvola-binarized warped page (True = paper) as numpy.
 
-        Transferred bit-packed (8x fewer bytes over the tunnel)."""
+        Transferred bit-packed (8x fewer bytes over the tunnel);
+        process-wide LRU — flow, layout and lines all consume it."""
+        key = self._file_key("warped-bin")
+        if key is not None and key in _BINARIZED_LRU:
+            _BINARIZED_LRU.move_to_end(key)
+            return _BINARIZED_LRU[key]
         from origami_tpu.ops.binarize import sauvola_packed
         packed = np.asarray(sauvola_packed(self.device_pixels, 15))
-        return np.unpackbits(packed, axis=1)[
-            :, : self._pixels.shape[1]].astype(bool)
+        out = np.unpackbits(packed, axis=1)[
+            :, : self.size(False)[0]].astype(bool)
+        if key is not None:
+            _lru_put(_BINARIZED_LRU, key, out)
+        return out
 
     @cached_property
     def dewarped_binarized(self):
+        key = self._file_key("dewarped-bin", self._grid_fp())
+        if key is not None and key in _BINARIZED_LRU:
+            _BINARIZED_LRU.move_to_end(key)
+            return _BINARIZED_LRU[key]
         from origami_tpu.ops.binarize import sauvola_packed
         dev = self.dewarped_dev
         packed = np.asarray(sauvola_packed(dev, 15))
-        return np.unpackbits(packed, axis=1)[
+        out = np.unpackbits(packed, axis=1)[
             :, : dev.shape[1]].astype(bool)
+        if key is not None:
+            _lru_put(_BINARIZED_LRU, key, out)
+        return out

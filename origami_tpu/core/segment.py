@@ -127,6 +127,9 @@ class Prediction:
                               bg.value if bg is not None else None)
 
 
+_SEGMENTATION_OPEN_CACHE = {}
+
+
 class Segmentation:
     """A set of per-predictor Predictions with zip save/load."""
 
@@ -175,7 +178,24 @@ class Segmentation:
     def open(path, open=None):
         # NB: inside the class body a bare `open` default would bind to
         # this very staticmethod, not the builtin
-        open = open or __import__("builtins").open
+        builtin_open = __import__("builtins").open
+        cache_key = None
+        if open is None or open is builtin_open:
+            # memoized per file identity: every downstream stage
+            # re-opens segment.zip and the label-PNG decode was
+            # ~0.3 s/stage over 6 bench pages; label arrays are
+            # treated immutable repo-wide (mutators copy first,
+            # core/predict.py sanitize_tabular)
+            import os
+            try:
+                st = os.stat(path)
+                cache_key = (str(path), st.st_mtime_ns, st.st_size)
+            except OSError:
+                cache_key = None
+            hit = _SEGMENTATION_OPEN_CACHE.get(cache_key)
+            if hit is not None:
+                return hit
+        open = open or builtin_open
         predictions = []
         with open(path, "rb") as f:
             with zipfile.ZipFile(f, "r") as zf:
@@ -188,7 +208,12 @@ class Segmentation:
                     predictions.append(Prediction(
                         meta["type"], meta["name"], np.array(im),
                         meta["classes"]))
-        return Segmentation(predictions)
+        seg = Segmentation(predictions)
+        if cache_key is not None:
+            if len(_SEGMENTATION_OPEN_CACHE) > 16:
+                _SEGMENTATION_OPEN_CACHE.clear()
+            _SEGMENTATION_OPEN_CACHE[cache_key] = seg
+        return seg
 
     @staticmethod
     def read_predictors(path, open=None):

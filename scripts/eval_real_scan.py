@@ -53,7 +53,8 @@ def run_chain(corpus, students, recognizer):
 
 
 def score(corpus, name, gt_file):
-    from origami_tpu.batch.utils.evaluate import match_baselines
+    from origami_tpu.batch.utils.evaluate import (
+        gt_zones, match_baselines, match_detections)
     gt = json.loads((DATA / gt_file).read_text())
     out = corpus / (name + ".out")
     dets = []
@@ -71,9 +72,18 @@ def score(corpus, name, gt_file):
     tol = np.maximum(0.5 * hs, 4.0)
     d = np.array([x if x is not None else np.inf for _, x in res])
     true = d <= 2 * tol
+    recall = float(np.mean(d <= tol))
+    # precision is per-detection and ZONE-LIMITED: band-annotated GT
+    # (p1925) covers only sub-bands of a page with far more real text
+    # lines, so only detections inside annotated zones count
+    prec = match_detections(gt["lines"], dets, zones=gt_zones(gt["lines"]))
+    p = prec["precision"]
     return dict(
         n_gt=len(res), n_detected_lines=len(dets),
-        recall=round(float(np.mean(d <= tol)), 3),
+        n_detected_in_zone=prec["n_considered"],
+        recall=round(recall, 3),
+        precision=round(p, 3),
+        f1=round(2 * p * recall / (p + recall), 3) if p + recall else 0.0,
         placement_px=(round(float(np.median(d[true])), 2)
                       if true.any() else None),
         line_height=float(np.median(hs)))

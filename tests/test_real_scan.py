@@ -173,6 +173,91 @@ def _region_cover(corpus, name, gt_file):
             for rname, (x0, y0, x1, y1) in gt["regions"].items()}
 
 
+@pytest.fixture(scope="module")
+def auto_corpus(tmp_path_factory):
+    """The PRODUCT operating mode on real scans (VERDICT r4 item 5):
+    'auto' segmentation — trained students + TABULAR sanitization +
+    per-page heuristic fallback — through the same chain. The floors
+    asserted below gate the auto mode itself, not just the heuristic
+    fallback."""
+    import shutil
+    students = Path(__file__).parent.parent / "models_pretrained" / "students"
+    assert students.exists(), (
+        "models_pretrained/students missing — the shipped pack is "
+        "required (see tests/test_pretrained.py)")
+    corpus = tmp_path_factory.mktemp("real_auto") / "corpus"
+    corpus.mkdir()
+    shutil.copy(DATA / "real_scan_1872.png", corpus / "p1872.png")
+    shutil.copy(DATA / "real_scan_bbz_1925.png", corpus / "p1925.png")
+
+    from origami_tpu.batch.detect.segment import SegmentationProcessor
+    from origami_tpu.batch.detect.contours import ContoursProcessor
+    from origami_tpu.batch.detect.flow import FlowDetectionProcessor
+    from origami_tpu.batch.detect.dewarp import DewarpProcessor
+    from origami_tpu.batch.detect.layout import LayoutDetectionProcessor
+    from origami_tpu.batch.detect.lines import LineDetectionProcessor
+    from origami_tpu.batch.detect.order import ReadingOrderProcessor
+
+    opts = dict(lock_strategy="NONE", plain=True)
+    for proc in [
+            SegmentationProcessor("auto:%s" % students,
+                                  dict(target="speed", **opts)),
+            ContoursProcessor(opts),
+            FlowDetectionProcessor(opts),
+            DewarpProcessor(opts),
+            LayoutDetectionProcessor(dict(layout="bbz", **opts)),
+            LineDetectionProcessor(opts),
+            ReadingOrderProcessor(opts)]:
+        proc.traverse(corpus)
+    return corpus
+
+
+def _precision(corpus, name, gt_file):
+    from origami_tpu.batch.utils.evaluate import gt_zones, match_detections
+    gt = _gt(gt_file)
+    return match_detections(gt["lines"], _detected_baselines(corpus, name),
+                            zones=gt_zones(gt["lines"]))
+
+
+def test_auto_mode_accuracy_1872(auto_corpus):
+    m = _accuracy(auto_corpus, "p1872", "real_scan_1872.gt.json")
+    p = _precision(auto_corpus, "p1872", "real_scan_1872.gt.json")
+    assert m["recall"] >= 0.6, (m, p)
+    assert p["precision"] >= 0.5, (m, p)
+
+
+def test_auto_mode_accuracy_1925(auto_corpus):
+    m = _accuracy(auto_corpus, "p1925", "real_scan_bbz_1925.gt.json")
+    p = _precision(auto_corpus, "p1925", "real_scan_bbz_1925.gt.json")
+    assert m["recall"] >= 0.6, (m, p)
+    assert p["precision"] >= 0.5, (m, p)
+
+
+def test_match_detections_zone_limited():
+    """Precision matching: in-zone hits and misses counted, detections
+    outside every annotated band excluded from the denominator."""
+    from origami_tpu.batch.utils.evaluate import gt_zones, match_detections
+    gt = [dict(y=100, x0=0, x1=200, h=10, band="a"),
+          dict(y=120, x0=0, x1=200, h=10, band="a")]
+    zones = gt_zones(gt)
+    assert len(zones) == 1
+    dets = [
+        np.array([[0, 101], [200, 101]], float),    # TP (gap 1 <= 5)
+        np.array([[0, 111], [200, 111]], float),    # FP (gap 6/9 > 5)
+        np.array([[0, 900], [200, 900]], float),    # out of zone
+    ]
+    m = match_detections(gt, dets, zones=zones)
+    assert m["n_considered"] == 2, m
+    assert m["n_true"] == 1, m
+    assert m["n_out_of_zone"] == 1, m
+    assert m["precision"] == 0.5, m
+    # full-page GT (no bands): zones is None, everything counted
+    gt_full = [dict(y=100, x0=0, x1=200, h=10)]
+    assert gt_zones(gt_full) is None
+    m = match_detections(gt_full, dets, zones=None)
+    assert m["n_considered"] == 3 and m["n_true"] == 1, m
+
+
 def test_region_cover_1872(real_corpus):
     cov = _region_cover(real_corpus, "p1872", "real_scan_1872.gt.json")
     assert min(cov.values()) >= 0.7, cov
