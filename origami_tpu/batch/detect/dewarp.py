@@ -80,6 +80,16 @@ class DewarpProcessor(Processor):
 
         with output.dewarping_transform() as f:
             grid.save(f)
+        # prefetch the dewarped page + its Sauvola mask into the
+        # process-wide LRUs (keys fingerprint the grid VALUES, so the
+        # save/load float32 roundtrip hits the same slots): this stage
+        # is device-bound, so layout/lines (the host consumers) skip
+        # the remap + binarize + tunnel transfer on their critical path
+        try:
+            from origami_tpu.core.page import Page as _Page
+            _Page(page.path, grid).dewarped_binarized
+        except Exception:
+            pass
         return dict(grid_shape=list(grid.points("sample").shape[:2]),
                     warping=grid.warping)
 

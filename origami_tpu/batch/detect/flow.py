@@ -39,8 +39,8 @@ def detect_block_lines(page, regions, min_height=4, force_lines=False,
     a bled-in rule as a stray 'l'). TABULAR blocks keep the full area:
     their V separators are the table's own dividers, and shaving them
     would truncate row lines to one column."""
-    binarized = page.binarized if regions is None or not _any_dewarped(
-        regions) else page.dewarped_binarized
+    dewarped = regions is not None and _any_dewarped(regions)
+    binarized = page.dewarped_binarized if dewarped else page.binarized
     blocks = regions.by_path
     obstacles = []
     if separators is not None:
@@ -56,9 +56,12 @@ def detect_block_lines(page, regions, min_height=4, force_lines=False,
     # a full per-crop angle sweep for every region was ~20% of the
     # lines stage's host time
     from origami_tpu.core.baselines import estimate_skew
+    # a dewarped page is deskewed by construction: hint 0 turns the
+    # coarse+fine sweep into a ~7-eval hill-climb around zero (the
+    # climb still walks outward if residual skew exists)
     page_skew = estimate_skew(
         (~np.asarray(binarized, dtype=bool)).astype(np.float32),
-        max_ds=8)
+        max_ds=8, hint=0.0 if dewarped else None)
     det_by_block = {}
     for path, block in blocks.items():
         if region_filter is not None and not region_filter(path):

@@ -219,26 +219,91 @@ class RecognizerPredictor:
                     jnp.asarray(w[off: off + B]))))
         return outs, n
 
+    @staticmethod
+    def _align_ops(pivot, other):
+        """Minimal-edit alignment of `other` onto `pivot`.
+
+        Yields (slot, char) events: (k, ch) = member reads ch at pivot
+        slot k ('' = the member deletes that slot); (-k - 1, ch) = the
+        member inserts ch before pivot slot k."""
+        n, m = len(pivot), len(other)
+        # DP over edit distance with backtrace
+        D = np.zeros((n + 1, m + 1), np.int32)
+        D[:, 0] = np.arange(n + 1)
+        D[0, :] = np.arange(m + 1)
+        for i in range(1, n + 1):
+            pi = pivot[i - 1]
+            row = D[i]
+            prev = D[i - 1]
+            for j in range(1, m + 1):
+                row[j] = min(prev[j] + 1, row[j - 1] + 1,
+                             prev[j - 1] + (pi != other[j - 1]))
+        i, j = n, m
+        out = []
+        while i > 0 or j > 0:
+            if i > 0 and j > 0 and \
+                    D[i, j] == D[i - 1, j - 1] + (pivot[i - 1]
+                                                  != other[j - 1]):
+                out.append((i - 1, other[j - 1]))
+                i -= 1
+                j -= 1
+            elif i > 0 and D[i, j] == D[i - 1, j] + 1:
+                out.append((i - 1, ""))           # slot deleted
+                i -= 1
+            else:
+                out.append((-i - 1, other[j - 1]))  # insertion before i
+                j -= 1
+        return out
+
     def _vote_texts(self, cands):
-        """Sequence-level approximation of Calamari voting (reference
-        origami/batch/detect/ocr.py:33-67): majority text among the
-        members, mean member confidence breaking ties. Calamari's
-        ConfidenceVoter votes per character position across aligned
-        candidates; with a 2-member ensemble every disagreement here is
-        a 1-1 tie, so the vote reduces to highest-mean-confidence
-        selection (ADVICE r4)."""
+        """Character-position voting over the member texts (Calamari
+        ConfidenceVoter semantics, reference
+        origami/batch/detect/ocr.py:33-67): each member's sequence is
+        edit-aligned onto the highest-confidence member and every
+        aligned position is voted independently — majority char wins,
+        ties keep the pivot's reading. Single-character dropouts are
+        member-specific, so a 3-member ensemble repairs them even when
+        no two members agree on the full sequence. With 2 members ties
+        dominate and the vote reduces to highest-confidence selection
+        (ADVICE r4)."""
         import collections
-        counts = collections.Counter(t for t, _ in cands)
-        top = max(counts.values())
-        tied = [t for t, c in counts.items() if c == top]
-        if len(tied) == 1:
-            text = tied[0]
-        else:
-            def mean_conf(t):
-                cs = [c for tt, c in cands if tt == t]
-                return sum(cs) / len(cs)
-            text = max(tied, key=mean_conf)
-        return text, max(c for tt, c in cands if tt == text)
+        texts = [t for t, _ in cands]
+        confs = [c for _, c in cands]
+        if len(set(texts)) == 1:
+            return texts[0], max(confs)
+        piv_i = max(range(len(cands)), key=lambda i: confs[i])
+        pivot = texts[piv_i]
+        n = len(pivot)
+        ballots = [collections.Counter() for _ in range(n)]
+        ins = [collections.Counter() for _ in range(n + 1)]
+        n_members = len(cands)
+        for mi, t in enumerate(texts):
+            if mi == piv_i:
+                for k, ch in enumerate(pivot):
+                    ballots[k][ch] += 1
+                continue
+            for slot, ch in self._align_ops(pivot, t):
+                if slot >= 0:
+                    ballots[slot][ch] += 1
+                else:
+                    ins[-slot - 1][ch] += 1
+        out = []
+        for k in range(n + 1):
+            if ins[k]:
+                ch, cnt = ins[k].most_common(1)[0]
+                if cnt * 2 > n_members:   # strict insertion majority
+                    out.append(ch)
+            if k == n:
+                break
+            votes = ballots[k]
+            top = max(votes.values())
+            tied = [ch for ch, c in votes.items() if c == top]
+            # ties keep the pivot's reading (it voted for pivot[k])
+            out.append(pivot[k] if pivot[k] in tied else tied[0])
+        text = "".join(out)
+        if text in texts:
+            return text, max(c for t, c in zip(texts, confs) if t == text)
+        return text, confs[piv_i]
 
     def finalize_device(self, deferred):
         """(texts, confs) for a predict_device_deferred result: each

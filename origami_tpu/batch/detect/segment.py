@@ -60,12 +60,22 @@ class SegmentationProcessor(BatchedProcessor):
 
     def process_batch(self, pages):
         predictor = self._get_predictor()
+        page_objs = [Page(p) for p, _ in pages]
         images = [kwargs.get("_preloaded") if kwargs.get("_preloaded")
-                  is not None else Page(p).warped
-                  for p, kwargs in pages]
+                  is not None else pg.warped
+                  for (p, kwargs), pg in zip(pages, page_objs)]
         segs = predictor.predict_batch(images)
         for (p, kwargs), seg in zip(pages, segs):
             kwargs["output"].segmentation(seg)
+        # prefetch the Sauvola mask into the process-wide binarize LRU:
+        # this stage runs in the wave runner's DEVICE side thread, so
+        # the dispatch + packed transfer (~0.1 s/page) overlaps host
+        # geometry instead of stalling flow (its first consumer)
+        for pg in page_objs:
+            try:
+                pg.binarized
+            except Exception:
+                pass
         # auto mode: record the per-page trained/heuristic decision in
         # runtime.json so fallbacks are auditable after a corpus run
         modes = getattr(predictor, "last_modes", None)

@@ -182,14 +182,19 @@ def detect_baselines(crop_binarized, origin=(0, 0), min_line_height=4,
     # for integer r, so band membership reduces to a per-column row range
     rs = np.round(shift).astype(np.int64)
 
-    # sheared row profile: group columns by their (few, small) integer
-    # shifts and add shifted column-sums — the (h, w) int64 index grid
-    # + bincount formulation allocated 16 bytes/pixel per crop and was
-    # detect_baselines' hottest block
+    # sheared row profile: rs is monotone in the column index, so the
+    # shift groups are contiguous runs — one column-prefix sum turns
+    # each run's column-sum into two lookups (the per-unique-shift
+    # boolean mask + masked sum was ~30% of detect_baselines)
+    cum1 = np.concatenate(
+        [np.zeros((h, 1), np.float32), np.cumsum(ink, axis=1)], axis=1)
+    change = np.flatnonzero(np.diff(rs)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [w]))
     prof = np.zeros(h, np.float64)
-    for s in np.unique(rs):
-        colsum = ink[:, rs == s].sum(axis=1)
-        s = int(s)
+    for c0, c1 in zip(starts, ends):
+        colsum = cum1[:, c1] - cum1[:, c0]
+        s = int(rs[c0])
         if s == 0:
             prof += colsum
         elif s > 0:                      # rows clipped into h-1
@@ -205,17 +210,16 @@ def detect_baselines(crop_binarized, origin=(0, 0), min_line_height=4,
     thresh = max(0.08 * sm.max(), 0.5)
     on = sm > thresh
 
-    # segment into bands
-    bands = []
-    start = None
-    for y in range(h):
-        if on[y] and start is None:
-            start = y
-        elif not on[y] and start is not None:
-            bands.append((start, y))
-            start = None
-    if start is not None:
-        bands.append((start, h))
+    # segment into bands: transitions of the on/off mask (the per-row
+    # Python scan was ~1 ms per 1000-row crop)
+    edges = np.flatnonzero(np.diff(on.astype(np.int8)))
+    ups = list(edges[~on[edges]] + 1)       # off -> on at index+1
+    downs = list(edges[on[edges]] + 1)      # on -> off at index+1
+    if on[0]:
+        ups.insert(0, 0)
+    if on[h - 1]:
+        downs.append(h)
+    bands = list(zip(ups, downs))
 
     # merge bands separated by tiny gaps, drop dwarf bands
     merged = []
@@ -231,36 +235,56 @@ def detect_baselines(crop_binarized, origin=(0, 0), min_line_height=4,
     if not bands:
         return [_fake_line(origin, w, h)] if force_one else []
 
-    # one-time prefix structures: each band then costs O(w) instead of
-    # rebuilding an (h, w) mask per detected line (35 lines per column
-    # block made this the hottest host loop in the lines stage)
+    # one-time prefix structures, then ONE vectorized pass over ALL
+    # bands (the per-band loop with its per-band reduces and quantile
+    # calls was ~60% of detect_baselines on a 35-line column block)
     col_arange = np.arange(w)
     cum0 = np.zeros((h + 1, w), np.float32)
     np.cumsum(ink, axis=0, out=cum0[1:])        # cum0[r] = sum of rows < r
     rows_or_neg = np.where(ink > 0, np.arange(h)[:, None], -1)
     last_ink = np.maximum.accumulate(rows_or_neg, axis=0)
 
-    out = []
-    for y0, y1 in bands:
-        # per-column row range of the sheared band: profile row
-        # p = r + rs[c]  =>  r in [y0 - rs, y1 - rs), clipped to the crop
-        r0 = np.clip(y0 - rs, 0, h)
-        r1 = np.clip(y1 - rs, 0, h)
-        col_ink = cum0[r1, col_arange] - cum0[r0, col_arange]
-        cols = np.nonzero(col_ink > 0)[0]
-        if len(cols) < 2:
-            continue
-        x0, x1 = int(cols[0]), int(cols[-1]) + 1
+    y0s = np.asarray([b[0] for b in bands])
+    y1s = np.asarray([b[1] for b in bands])
+    # per-column row range of each sheared band: profile row
+    # p = r + rs[c]  =>  r in [y0 - rs, y1 - rs), clipped to the crop
+    r0 = np.clip(y0s[:, None] - rs[None, :], 0, h)      # (B, w)
+    r1 = np.clip(y1s[:, None] - rs[None, :], 0, h)
+    col_ink = cum0[r1, col_arange] - cum0[r0, col_arange]
+    has_ink = col_ink > 0
+    any_ink = has_ink.any(axis=1)
+    x0s = np.argmax(has_ink, axis=1)
+    x1s = w - np.argmax(has_ink[:, ::-1], axis=1)
+    # last ink row < r1, and the 0.85-quantile of the per-column
+    # lowest ink position in profile (sheared) space: row + shift(x)
+    li = last_ink[np.maximum(r1 - 1, 0), col_arange]
+    has = has_ink & (li >= r0) & (r1 > r0)
+    # per-band 0.85-quantile of the valid entries, vectorized: sort
+    # valid-first (inf padding) and linearly interpolate — equivalent
+    # to np.quantile(valid, 0.85) per band, but np.nanquantile routes
+    # through a per-band Python apply_along_axis (~4 ms/35-line block)
+    lowest = np.where(has, li + shift[None, :], np.inf)
+    lowest.sort(axis=1)
+    cnt = has.sum(axis=1)
+    q = 0.85 * np.maximum(cnt - 1, 0)
+    lo_i = np.floor(q).astype(np.int64)
+    hi_i = np.minimum(lo_i + 1, np.maximum(cnt - 1, 0))
+    frac = q - lo_i
+    rows_b = np.arange(len(bands))
+    with np.errstate(invalid="ignore"):
+        base_ys = np.where(
+            cnt > 0,
+            lowest[rows_b, lo_i] * (1.0 - frac)
+            + lowest[rows_b, hi_i] * frac,
+            np.nan)
 
-        # baseline: high quantile of per-column lowest ink position, in
-        # profile (sheared) space: profile row = y_img + shift(x)
-        li = last_ink[np.maximum(r1 - 1, 0), col_arange]  # last ink row < r1
-        has = (col_ink > 0) & (li >= r0) & (r1 > r0)
-        has = has[x0:x1]
-        if not has.any():
+    out = []
+    for bi, (y0, y1) in enumerate(bands):
+        if not any_ink[bi] or x1s[bi] - x0s[bi] < 2 \
+                or not np.isfinite(base_ys[bi]):
             continue
-        lowest = (li[x0:x1] + shift[x0:x1])[has]
-        base_y = float(np.quantile(lowest, 0.85))
+        x0, x1 = int(x0s[bi]), int(x1s[bi])
+        base_y = float(base_ys[bi])
         band_h = max(float(y1 - y0), min_line_height)
         descent = max(0.0, min(0.35 * band_h, y1 - base_y))
         ascent = max(base_y - y0, min_line_height * 0.5)
@@ -275,7 +299,7 @@ def detect_baselines(crop_binarized, origin=(0, 0), min_line_height=4,
         p2 = to_page(x1, base_y)
         right = p2 - p1
         n = np.array([-right[1], right[0]])
-        n = n / (np.linalg.norm(n) + 1e-9)
+        n = n / (math.hypot(right[0], right[1]) + 1e-9)
         if n[1] > 0:
             n = -n          # ensure "up" points to smaller y (image up)
         up_vec = n * (ascent + descent)

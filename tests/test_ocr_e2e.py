@@ -84,3 +84,31 @@ def test_recognizer_learns_to_read(tmp_path):
     assert correct >= 2, [(t, ctc.ids_to_text(
         np.asarray(ids[i]), int(lengths[i]), CHARSET))
         for i, t in enumerate(texts)]
+
+
+def test_character_position_voting():
+    """Calamari-style ConfidenceVoter semantics (reference ocr.py:33-67):
+    members are edit-aligned onto the highest-confidence member and each
+    position voted — a 3-member ensemble repairs member-specific
+    single-char drops/substitutions/insertions even when no two members
+    agree on the full sequence."""
+    import types
+    from origami_tpu.batch.detect.ocr import RecognizerPredictor as P
+
+    self = types.SimpleNamespace(_align_ops=P._align_ops)
+    vote = P._vote_texts
+    assert vote(self, [("abc", 0.9), ("abc", 0.8)]) == ("abc", 0.9)
+    # 2 members: disagreement is a 1-1 tie -> highest confidence
+    assert vote(self, [("abc", 0.7), ("abd", 0.9)])[0] == "abd"
+    # pivot dropped a char, 2 others have it -> repaired
+    assert vote(self, [("Herstra", 0.95), ("Herrstra", 0.9),
+                       ("Herrstra", 0.8)])[0] == "Herrstra"
+    # pivot substitution out-voted
+    assert vote(self, [("W0che", 0.95), ("Woche", 0.9),
+                       ("Woche", 0.8)])[0] == "Woche"
+    # member-specific errors, no two members equal -> pivot survives
+    assert vote(self, [("Tunglich", 0.9), ("Tnglich", 0.85),
+                       ("Tunglih", 0.8)])[0] == "Tunglich"
+    # insertion carried by a strict majority
+    assert vote(self, [("prei:", 0.95), ("preis:", 0.9),
+                       ("preis:", 0.85)])[0] == "preis:"
