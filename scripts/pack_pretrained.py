@@ -35,7 +35,11 @@ def main():
     ap.add_argument("--dst", default="models_pretrained")
     args = ap.parse_args()
     src = Path(args.src)
-    dst = Path(args.dst)
+    final = Path(args.dst)
+    # build into a sibling temp dir and swap at the END: an interrupted
+    # run must never leave the shipped pack half-deleted (a timed-out
+    # pack once rmtree'd models_pretrained before writing anything)
+    dst = final.parent / (final.name + ".packing")
     if dst.exists():
         shutil.rmtree(dst)
     for net in ("region", "separator"):
@@ -54,7 +58,10 @@ def main():
     for extra in sorted(src.glob("recognizer[0-9]*")):
         if (extra / "meta.json").exists():
             repack(extra, dst / extra.name)
-    print("done: %s" % dst)
+    if final.exists():
+        shutil.rmtree(final)
+    dst.rename(final)
+    print("done: %s" % final)
 
 
 if __name__ == "__main__":
