@@ -256,6 +256,16 @@ def render_page(seed, width=1312, height=1920, n_columns=None,
                       width=1)
             sep_mask[top:height - margin, sx - 1:sx + 2] = SEP["V"]
 
+    # drop GT for lines the page boundary clipped away: a block that
+    # STARTS before the column limit may extend past the bottom; PIL
+    # silently clips the drawing but the GT entries survived, so every
+    # chain was charged phantom deletions for text that is not on the
+    # page (8 of 876 eval lines — the whole 'segment_miss' row of the
+    # r5 loss attribution). Keep a line only when >= 75% of its ink
+    # band is actually visible.
+    lines = [l for l in lines
+             if (min(l.bbox[3], height) - l.bbox[1])
+             >= 0.75 * max(l.bbox[3] - l.bbox[1], 1.0)]
     out = np.asarray(img).astype(np.float32)
     if degrade:
         out = _degrade(rng, out)

@@ -190,6 +190,11 @@ def main():
     ap.add_argument("--with-beam", action="store_true",
                     help="also run the voted-beam pipeline (slow: host "
                          "beam decode per member per line)")
+    ap.add_argument("--metrics-only", action="store_true",
+                    help="recompute CER/attribution from existing "
+                         "pipeline_* outputs (e.g. after a GT fix that "
+                         "keeps the page pixels identical); keeps the "
+                         "previous run's s/page numbers")
     args = ap.parse_args()
     work = Path(args.work)
     report = json.loads((work / "report.json").read_text())
@@ -225,8 +230,23 @@ def main():
     if vote_dir.exists() and args.with_beam:
         chains.append(("student_voted_beam", work / "students", "speed",
                        vote_dir, dict(decoder="beam")))
+    prev_spp = {}
+    if args.metrics_only:
+        try:
+            prev = json.loads(Path(
+                str(Path(args.out)) + ".results.json").read_text())
+            prev_spp = {k: v.get("seconds_per_page")
+                        for k, v in prev.items()}
+        except OSError:
+            pass
     for label, model, target, rec, ocr_extra in chains:
         corpus = work / ("pipeline_" + label)
+        if args.metrics_only and corpus.exists():
+            results[label] = dict(
+                cer=pipeline_cer(corpus, work / "val"),
+                composed_cer=composed_cer(corpus, work / "val"),
+                seconds_per_page=prev_spp.get(label))
+            continue
         if corpus.exists():
             shutil.rmtree(corpus)
         corpus.mkdir(parents=True)
@@ -339,7 +359,7 @@ def main():
               "|---|---|---|---|---|---|---|---|"]
     for label, r in results.items():
         c = r["cer"]
-        lines.append("| %s | %.3f | %s | %s | %s | %s | %s | %.1f |" % (
+        lines.append("| %s | %.3f | %s | %s | %s | %s | %s | %s |" % (
             label, c["line_recall"],
             "%.4f" % c["cer"] if c["cer"] is not None else "-",
             "%.4f" % c["cer_median"] if c["cer_median"] is not None
@@ -349,7 +369,8 @@ def main():
             "%.4f" % c["order_free_cer"]
             if c.get("order_free_cer") is not None else "-",
             "%.1f%%" % (100 * c.get("spurious_chars_frac", 0.0)),
-            r["seconds_per_page"]))
+            "%.1f" % r["seconds_per_page"]
+            if r.get("seconds_per_page") is not None else "-"))
     if seg_diffs:
         mean_text = float(np.mean(
             [d["regions"].get("TEXT", 0.0) for d in seg_diffs]))
@@ -360,37 +381,43 @@ def main():
                   "segment.zip): %.3f over %d pages" % (
                       mean_text, len(seg_diffs))]
 
-    # per-stage loss attribution on the student pipeline
+    # per-stage loss attribution on the student + voted pipelines
     try:
         import diagnose_pipeline as diag
         import collections
-        cats = collections.Counter()
-        corpus = work / "pipeline_student"
-        for img in sorted(corpus.glob("*.png")):
-            gt_path = work / "val" / (img.stem + ".gt.json")
-            if ".labels." in img.name or not gt_path.exists():
-                continue
-            if not (img.parent / (img.stem + ".out") /
-                    "ocr.zip").exists():
-                continue
-            for row in diag.diagnose_page(
-                    img, json.loads(gt_path.read_text())):
-                cats[row["cat"]] += 1
-        total = sum(cats.values())
-        if total:
-            lines += ["",
-                      "## Pipeline loss attribution (student chain)",
-                      "",
-                      "| category | lines | % |", "|---|---|---|"]
-            for cat, n in cats.most_common():
-                lines.append("| %s | %d | %.1f |"
-                             % (cat, n, 100.0 * n / total))
+        for chain in ("student", "student_voted"):
+            cats = collections.Counter()
+            corpus = work / ("pipeline_" + chain)
+            for img in sorted(corpus.glob("*.png")):
+                gt_path = work / "val" / (img.stem + ".gt.json")
+                if ".labels." in img.name or not gt_path.exists():
+                    continue
+                if not (img.parent / (img.stem + ".out") /
+                        "ocr.zip").exists():
+                    continue
+                for row in diag.diagnose_page(
+                        img, json.loads(gt_path.read_text())):
+                    cats[row["cat"]] += 1
+            total = sum(cats.values())
+            if total:
+                lines += ["",
+                          "## Pipeline loss attribution (%s chain)"
+                          % chain,
+                          "",
+                          "| category | lines | % |", "|---|---|---|"]
+                for cat, n in cats.most_common():
+                    lines.append("| %s | %d | %.1f |"
+                                 % (cat, n, 100.0 * n / total))
     except Exception as e:          # diagnosis is best-effort
         lines += ["", "(loss attribution unavailable: %s)" % e]
     lines += ["",
               "Reproduce: `python scripts/bootstrap_synth.py` then "
               "`python scripts/make_compare_report.py`.", ""]
     Path(args.out).write_text("\n".join(lines))
+    # persist raw results so --metrics-only reruns keep the timed
+    # s/page while recomputing quality numbers
+    Path(str(Path(args.out)) + ".results.json").write_text(
+        json.dumps(results, indent=1, default=str))
     print("wrote", args.out)
     print(json.dumps(results, indent=1, default=str))
 
