@@ -20,6 +20,8 @@ PACK_FILES = [
     PRETRAINED / "recognizer" / "params.msgpack",
     PRETRAINED / "recognizer2" / "meta.json",
     PRETRAINED / "recognizer2" / "params.msgpack",
+    PRETRAINED / "recognizer3" / "meta.json",
+    PRETRAINED / "recognizer3" / "params.msgpack",
     PRETRAINED / "students" / "region" / "00" / "meta.json",
     PRETRAINED / "students" / "region" / "00" / "params.msgpack",
     PRETRAINED / "students" / "separator" / "00" / "meta.json",
