@@ -52,8 +52,12 @@ _PIXELS_LRU = collections.OrderedDict()
 
 # (path, mtime, space_key) -> binarized bool mask: Sauvola runs on
 # device and the unpacked result is re-derived per stage otherwise
-# (flow + layout + lines each paid the dispatch + tunnel transfer)
+# (flow + layout + lines each paid the dispatch + tunnel transfer).
+# Cap 24: warped AND dewarped masks of two in-flight runner waves must
+# coexist or the segment/dewarp prefetches evict before their consumer
+# stages arrive (~4 MB per 2400x1600 page mask).
 _BINARIZED_LRU = collections.OrderedDict()
+_BINARIZED_CAP = 24
 
 
 def _lru_put(lru, key, value, cap=12):
@@ -210,7 +214,8 @@ class Page:
         out = np.unpackbits(packed, axis=1)[
             :, : self.size(False)[0]].astype(bool)
         if key is not None:
-            _lru_put(_BINARIZED_LRU, key, out)
+            _lru_put(_BINARIZED_LRU, key, out,
+                     cap=_BINARIZED_CAP)
         return out
 
     @cached_property
@@ -225,5 +230,6 @@ class Page:
         out = np.unpackbits(packed, axis=1)[
             :, : dev.shape[1]].astype(bool)
         if key is not None:
-            _lru_put(_BINARIZED_LRU, key, out)
+            _lru_put(_BINARIZED_LRU, key, out,
+                     cap=_BINARIZED_CAP)
         return out
