@@ -41,7 +41,11 @@ def ensure_compilation_cache(cache_dir=None):
             Path.home() / ".cache" / "origami_tpu" / "jax"))
         path.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(path))
+        # persist EVERYTHING: sub-second graphs (strip-extract slabs,
+        # pad/concat helpers) are exactly what a fresh process repays
+        # ~30x per corpus pass through the remote compiler — the r4
+        # driver bench charged ~100 s of them to the ocr stage
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
+                          0.0)
     except Exception:
         pass

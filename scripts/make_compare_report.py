@@ -331,16 +331,17 @@ def main():
         lines += ["",
                   "| decode mode | CER mean | CER median |",
                   "|---|---|---|"]
+        n_members = len(members)
         for label, key in (
                 ("greedy (seed 1)", "ocr"),
                 ("greedy (seed 2)", "ocr_seed2"),
                 ("beam, single model", "ocr_beam_single"),
-                ("voted greedy (2 models, sequence vote)",
-                 "ocr_voted_greedy"),
-                ("voted beam (2 models, sequence vote)",
-                 "ocr_voted_beam"),
-                ("frame-averaged beam (2 models; retired — CTC "
-                 "alignment drift)", "ocr_voted_frames")):
+                ("voted greedy (%d models, char-position vote)"
+                 % n_members, "ocr_voted_greedy"),
+                ("voted beam (%d models, char-position vote)"
+                 % n_members, "ocr_voted_beam"),
+                ("frame-averaged beam (%d models; retired — CTC "
+                 "alignment drift)" % n_members, "ocr_voted_frames")):
             r = report.get(key)
             if r:
                 lines.append("| %s | %.4f | %.4f |" % (
