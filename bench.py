@@ -212,10 +212,16 @@ def bench_end_to_end(n_pages=6):
         for i, src in enumerate(sorted((work / "corpus0").glob("*.png"))
                                 + sorted((work / "corpus1").glob("*.png"))):
             shutil.copy(src, corpus / ("p%04d.png" % i))
+        from origami_tpu.core import page as page_mod
+        page_mod.CACHE_STATS.clear()
         runner = PipelinedRunner(stages, wave_size=4)
         t0 = time.perf_counter()
         runner.run(corpus)
         overlapped_pps = n_olap / (time.perf_counter() - t0)
+        # an eviction during the overlapped pass = a cross-wave
+        # re-derivation (remap/Sauvola/tunnel) — must stay at zero
+        print("cache stats (overlapped): %s"
+              % json.dumps(page_mod.cache_stats()), file=sys.stderr)
 
         return dict(
             mode=mode,

@@ -59,6 +59,10 @@ class PipelinedRunner:
         if "segment" not in names or "ocr" not in names:
             raise ValueError("runner needs segment and ocr stages")
         self._wave = wave_size
+        # three waves are alive at once (prefetch segment / host / ocr
+        # tail) — size the page LRUs so cross-wave reuse never thrashes
+        from origami_tpu.core import page
+        page.set_cache_budget(3 * wave_size)
 
     def _run(self, procs, pages, errors):
         try:

@@ -52,18 +52,68 @@ _PIXELS_LRU = collections.OrderedDict()
 
 # (path, mtime, space_key) -> binarized bool mask: Sauvola runs on
 # device and the unpacked result is re-derived per stage otherwise
-# (flow + layout + lines each paid the dispatch + tunnel transfer).
-# Cap 24: warped AND dewarped masks of two in-flight runner waves must
-# coexist or the segment/dewarp prefetches evict before their consumer
-# stages arrive (~4 MB per 2400x1600 page mask).
+# (flow + layout + lines each paid the dispatch + tunnel transfer);
+# holds warped AND dewarped masks of every in-flight runner wave
+# (~4 MB per 2400x1600 page mask) — caps below.
 _BINARIZED_LRU = collections.OrderedDict()
-_BINARIZED_CAP = 24
+
+# Caps sized for the overlapped runner's worst case: with wave_size W
+# the runner holds up to THREE waves of pages alive at once (prefetch /
+# active / finalize), and the binarized cache holds TWO spaces (warped
+# + dewarped) per page. A cap that is *exactly* 3W is a trap — one
+# stray page (warmup, a straggler from the previous corpus pass)
+# cascades into evict->rederive loops (full-page remap + Sauvola +
+# tunnel transfer each, ~0.5 s/page). Budget: ~4 MB/page host-side per
+# cache entry, so even 48 mask entries is <200 MB. set_cache_budget()
+# lets the runner resize for larger waves.
+_PIXELS_CAP = 24
+_DEWARPED_CAP = 24
+_DEVICE_PIXELS_CAP = 24
+_BINARIZED_CAP = 48
 
 
-def _lru_put(lru, key, value, cap=12):
+def set_cache_budget(pages_in_flight):
+    """Resize the page caches for a runner keeping this many pages alive.
+
+    Caps are pages_in_flight + 4 slack (binarized: x2 spaces) so an
+    overlapped run never thrashes; shrinking below the defaults is not
+    allowed (sequential runs keep the generous default).
+    """
+    global _PIXELS_CAP, _DEWARPED_CAP, _DEVICE_PIXELS_CAP, _BINARIZED_CAP
+    n = int(pages_in_flight) + 4
+    _PIXELS_CAP = max(_PIXELS_CAP, n)
+    _DEWARPED_CAP = max(_DEWARPED_CAP, n)
+    _DEVICE_PIXELS_CAP = max(_DEVICE_PIXELS_CAP, n)
+    _BINARIZED_CAP = max(_BINARIZED_CAP, 2 * n)
+
+
+# hit/miss/eviction counters per cache (perf forensics: an eviction in
+# a pipelined run means a full re-derivation — remap, Sauvola, tunnel
+# transfer — so the overlapped runner MUST stay under every cap)
+CACHE_STATS = collections.defaultdict(lambda: [0, 0, 0])  # hits, misses, evictions
+
+
+def _lru_get(lru, key, name):
+    if key is not None and key in lru:
+        CACHE_STATS[name][0] += 1
+        lru.move_to_end(key)
+        return lru[key]
+    CACHE_STATS[name][1] += 1
+    return None
+
+
+def _lru_put(lru, key, value, cap=12, name=None):
     lru[key] = value
     while len(lru) > cap:
         lru.popitem(last=False)
+        if name is not None:
+            CACHE_STATS[name][2] += 1
+
+
+def cache_stats():
+    """{cache: dict(hits, misses, evictions)} since process start."""
+    return {k: dict(hits=v[0], misses=v[1], evictions=v[2])
+            for k, v in CACHE_STATS.items()}
 
 
 class Page:
@@ -90,12 +140,12 @@ class Page:
 
     def _decode(self):
         key = self._file_key()
-        if key is not None and key in _PIXELS_LRU:
-            _PIXELS_LRU.move_to_end(key)
-            return _PIXELS_LRU[key]
+        cached = _lru_get(_PIXELS_LRU, key, "pixels")
+        if cached is not None:
+            return cached
         px = np.asarray(PIL.Image.open(str(self._path)).convert("L"))
         if key is not None:
-            _lru_put(_PIXELS_LRU, key, px)
+            _lru_put(_PIXELS_LRU, key, px, cap=_PIXELS_CAP, name="pixels")
         return px
 
     @property
@@ -116,15 +166,16 @@ class Page:
         # holds the DEVICE array (what on-device consumers need) and
         # lazily materializes the host copy at most once.
         key = self._file_key(self._grid_fp())
-        if key is not None and key in _DEWARPED_LRU:
-            _DEWARPED_LRU.move_to_end(key)
-            return _DEWARPED_LRU[key]
+        cached = _lru_get(_DEWARPED_LRU, key, "dewarped")
+        if cached is not None:
+            return cached
         from origami_tpu.core.dewarp import Dewarper
         slot = {"dev": Dewarper(self.device_pixels, self._grid,
                                 shape=self.warped.shape).dewarped_dev,
                 "host": None}
         if key is not None:
-            _lru_put(_DEWARPED_LRU, key, slot)
+            _lru_put(_DEWARPED_LRU, key, slot,
+                     cap=_DEWARPED_CAP, name="dewarped")
         return slot
 
     def _grid_fp(self):
@@ -191,12 +242,13 @@ class Page:
     def device_pixels(self):
         import jax.numpy as jnp
         key = self._file_key()
-        if key is not None and key in _DEVICE_PIXELS_LRU:
-            _DEVICE_PIXELS_LRU.move_to_end(key)
-            return _DEVICE_PIXELS_LRU[key]
+        cached = _lru_get(_DEVICE_PIXELS_LRU, key, "device_pixels")
+        if cached is not None:
+            return cached
         dev = jnp.asarray(self.warped)
         if key is not None:
-            _lru_put(_DEVICE_PIXELS_LRU, key, dev)
+            _lru_put(_DEVICE_PIXELS_LRU, key, dev,
+                     cap=_DEVICE_PIXELS_CAP, name="device_pixels")
         return dev
 
     @cached_property
@@ -206,24 +258,24 @@ class Page:
         Transferred bit-packed (8x fewer bytes over the tunnel);
         process-wide LRU — flow, layout and lines all consume it."""
         key = self._file_key("warped-bin")
-        if key is not None and key in _BINARIZED_LRU:
-            _BINARIZED_LRU.move_to_end(key)
-            return _BINARIZED_LRU[key]
+        cached = _lru_get(_BINARIZED_LRU, key, "binarized")
+        if cached is not None:
+            return cached
         from origami_tpu.ops.binarize import sauvola_packed
         packed = np.asarray(sauvola_packed(self.device_pixels, 15))
         out = np.unpackbits(packed, axis=1)[
             :, : self.size(False)[0]].astype(bool)
         if key is not None:
             _lru_put(_BINARIZED_LRU, key, out,
-                     cap=_BINARIZED_CAP)
+                     cap=_BINARIZED_CAP, name="binarized")
         return out
 
     @cached_property
     def dewarped_binarized(self):
         key = self._file_key("dewarped-bin", self._grid_fp())
-        if key is not None and key in _BINARIZED_LRU:
-            _BINARIZED_LRU.move_to_end(key)
-            return _BINARIZED_LRU[key]
+        cached = _lru_get(_BINARIZED_LRU, key, "binarized")
+        if cached is not None:
+            return cached
         from origami_tpu.ops.binarize import sauvola_packed
         dev = self.dewarped_dev
         packed = np.asarray(sauvola_packed(dev, 15))
@@ -231,5 +283,5 @@ class Page:
             :, : dev.shape[1]].astype(bool)
         if key is not None:
             _lru_put(_BINARIZED_LRU, key, out,
-                     cap=_BINARIZED_CAP)
+                     cap=_BINARIZED_CAP, name="binarized")
         return out
