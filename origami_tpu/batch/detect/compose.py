@@ -107,16 +107,60 @@ class ComposeProcessor(Processor):
                         out.append(self._clean(text))
                 continue
             members = combinator.mapping.get(path, [path])
-            lines = []
-            for m in members:
-                for lp, text in region_texts.get(tuple(m), []):
-                    if lp in seen:
-                        continue
-                    seen.add(lp)
-                    lines.append(self._clean(text))
+            if len(members) > 1:
+                # a split table: interleave the column sub-regions back
+                # into visual rows (readers scan tables row by row;
+                # emitting member columns in sequence read whole
+                # columns first — the stride-k walks diagnose_order
+                # isolated)
+                lines = self._table_rows(input, members, region_texts,
+                                         seen)
+            else:
+                lines = []
+                for m in members:
+                    for lp, text in region_texts.get(tuple(m), []):
+                        if lp in seen:
+                            continue
+                        seen.add(lp)
+                        lines.append(self._clean(text))
             if lines:
                 out.append("\n".join(lines))
         return self._paragraph.join(x for x in out if x.strip())
+
+    def _table_rows(self, input, members, region_texts, seen):
+        """Row-major line texts of a split table: cluster baselines by
+        y (tolerance = half the median row pitch), read each row left
+        to right."""
+        entries = []
+        for m in members:
+            for lp, text in region_texts.get(tuple(m), []):
+                if lp in seen:
+                    continue
+                seen.add(lp)
+                line = input.lines.by_path.get(lp)
+                if line is None:
+                    entries.append((float("inf"), 0.0, len(entries),
+                                    text))
+                    continue
+                p1, p2 = line.baseline
+                entries.append(((p1[1] + p2[1]) / 2.0,
+                                min(p1[0], p2[0]), len(entries), text))
+        entries.sort(key=lambda e: (e[0], e[1], e[2]))
+        ys = [e[0] for e in entries if e[0] != float("inf")]
+        gaps = sorted(b - a for a, b in zip(ys, ys[1:]) if b - a > 1.0)
+        tol = 0.5 * gaps[len(gaps) // 2] if gaps else 1.0
+        rows = []
+        last_y = None
+        for e in entries:
+            if last_y is None or e[0] - last_y > tol:
+                rows.append([])
+            rows[-1].append(e)
+            last_y = e[0]
+        out = []
+        for row in rows:
+            row.sort(key=lambda e: (e[1], e[0], e[2]))
+            out.extend(self._clean(e[3]) for e in row)
+        return out
 
     # -- page xml ----------------------------------------------------------
     def _compose_xml(self, page_path, input):

@@ -235,18 +235,36 @@ class ObstacleSampler:
         bu = np.where(ga == 0, bx_, by)
         av = np.where(ga == 0, ay, ax)
         bv = np.where(ga == 0, by, bx_)
-        um = ok & (self._axes[None, :] == ga)
-        vm = ok & ~(self._axes[None, :] == ga)
+        # DEVIATION from the reference scorer (origami/core/
+        # separate.py:111-162), which measured coverage over the
+        # PADDED catchment box and let the thickness delta shift the
+        # obstacle ratio by ±2: (a) a rule that merely TOUCHES or stops
+        # AT a gutter (a masthead rule broken at the column separators)
+        # counted as a crossing obstacle and drove full-height column
+        # cuts negative; (b) a short thick rule could flip a cut that
+        # three column separators CROSS to hugely positive. Here only
+        # the portion strictly INSIDE the unpadded gap counts, both
+        # ratios are clamped to [0, 1] (a fully crossed gap scores 0,
+        # never negative), and the thickness bonus scales WITH flow
+        # coverage so it cannot rescue a crossed cut.
+        umin = np.array([g.minu for g in gaps])
+        umax = np.array([g.maxu for g in gaps])
+        vmin_ = np.array([g.minv for g in gaps])
+        vmax_ = np.array([g.maxv for g in gaps])
+        olo = np.clip(np.minimum(au, bu), umin[:, None], umax[:, None])
+        ohi = np.clip(np.maximum(au, bu), umin[:, None], umax[:, None])
+        um = ok & (self._axes[None, :] == ga) & (ohi > olo)
+        flo = np.clip(np.minimum(av, bv), vmin_[:, None], vmax_[:, None])
+        fhi = np.clip(np.maximum(av, bv), vmin_[:, None], vmax_[:, None])
+        vm = ok & ~(self._axes[None, :] == ga) & (fhi > flo)
         ku, su_ = np.nonzero(um)
-        obst_cov = self._union_len_grouped(
-            ku, np.minimum(au[um], bu[um]),
-            np.maximum(au[um], bu[um]) + 1, K)
+        obst_cov = self._union_len_grouped(ku, olo[um], ohi[um], K)
         kv, sv_ = np.nonzero(vm)
-        vlo = np.minimum(av[vm], bv[vm])
-        vhi = np.maximum(av[vm], bv[vm]) + 1
+        vlo = flo[vm]
+        vhi = fhi[vm] + 1
         flow_cov = self._union_len_grouped(kv, vlo, vhi, K)
-        flow_score = flow_cov / np.maximum(dv, 1e-12)
-        obst_score = obst_cov / np.maximum(du, 1e-12)
+        flow_score = np.clip(flow_cov / np.maximum(dv, 1e-12), 0.0, 1.0)
+        obst_score = np.clip(obst_cov / np.maximum(du, 1e-12), 0.0, 1.0)
         if self._thickness_delta is not None and len(kv):
             ws = self._widths[sv_]
             weights = vhi - vlo - 1
@@ -264,72 +282,13 @@ class ObstacleSampler:
                 wmean[zw] = msum[zw] / cnt[zw]
             dt = np.array([self._thickness_delta(w) if h else 0.0
                            for w, h in zip(wmean, has)])
-            obst_score = obst_score - dt
-            flow_score = flow_score + dt
-        out = (base * (1 - obst_score)) * (1 + flow_score)
+        else:
+            dt = 0.0
+        out = base * (1 - obst_score) * (1 + flow_score * (1 + dt))
         return np.where(small, 0.0, out)
 
     def __call__(self, gap):
-        if gap.du < 0.5 or gap.dv < 0.5:
-            return 0.0
-        pad = 5.0
-        minx, miny, maxx, maxy = gap.bounds
-        x0, y0 = minx - pad, miny - pad
-        x1, y1 = maxx + pad, maxy + pad
-
-        flow_score = 0.0
-        obst_score = 0.0
-        flow_widths = None
-        if len(self._segs):
-            s = self._segs
-            # vectorized Liang-Barsky clip of every segment to the box
-            dx = s[:, 2] - s[:, 0]
-            dy = s[:, 3] - s[:, 1]
-            t0 = np.zeros(len(s))
-            t1 = np.ones(len(s))
-            ok = np.ones(len(s), bool)
-            for p, q in ((-dx, s[:, 0] - x0), (dx, x1 - s[:, 0]),
-                         (-dy, s[:, 1] - y0), (dy, y1 - s[:, 1])):
-                par = p == 0
-                ok &= ~(par & (q < 0))
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    r = q / p
-                ent = ~par & (p < 0)
-                ext = ~par & (p > 0)
-                t0 = np.where(ent, np.maximum(t0, r), t0)
-                t1 = np.where(ext, np.minimum(t1, r), t1)
-            ok &= t0 <= t1
-            if ok.any():
-                ax = s[ok, 0] + t0[ok] * dx[ok]
-                ay = s[ok, 1] + t0[ok] * dy[ok]
-                bx_ = s[ok, 0] + t1[ok] * dx[ok]
-                by = s[ok, 1] + t1[ok] * dy[ok]
-                axes = self._axes[ok]
-                uv = np.stack([np.stack([ax, ay]), np.stack([bx_, by])])
-                # obstacle: separator runs along the gap's own axis
-                um = axes == gap.axis
-                u = gap.axis
-                obst_cov = self._union_len(
-                    np.minimum(uv[0, u, um], uv[1, u, um]),
-                    np.maximum(uv[0, u, um], uv[1, u, um]) + 1)
-                v = 1 - gap.axis
-                vm = ~um
-                vlo = np.minimum(uv[0, v, vm], uv[1, v, vm])
-                vhi = np.maximum(uv[0, v, vm], uv[1, v, vm]) + 1
-                flow_cov = self._union_len(vlo, vhi)
-                flow_score = flow_cov / gap.dv
-                obst_score = obst_cov / gap.du
-                if vm.any():
-                    flow_widths = (self._widths[ok][vm], vhi - vlo - 1)
-
-        if self._thickness_delta and flow_widths is not None:
-            ws, weights = flow_widths
-            tot = weights.sum()
-            w = float((ws * weights).sum() / tot) if tot > 0 \
-                else float(ws.mean())
-            dt = self._thickness_delta(w)
-            obst_score -= dt
-            flow_score += dt
-
-        score = gap.du * gap.dv
-        return (score * (1 - obst_score)) * (1 + flow_score)
+        """Single-gap scoring — delegates to score_many so the two
+        paths cannot drift (xycut only takes this path for scorers
+        without score_many; kept for API parity and tests)."""
+        return float(self.score_many([gap])[0])

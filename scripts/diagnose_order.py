@@ -55,10 +55,12 @@ def run_to_order(corpus, segment_model, target):
         proc.traverse(corpus)
 
 
-def composed_line_keys(out):
+def composed_line_keys(out, det):
     """Line keys in composed order — replicates compose._compose_text's
     walk (region entries expand to their lines in _line_sort_key order;
-    line-level entries from region splitting appear singly)."""
+    split tables interleave row-major via compose._table_rows; line-
+    level entries from region splitting appear singly). `det` maps line
+    keys to page-space baselines (for the table row clustering)."""
     from origami_tpu.batch.core.utils import TableRegionCombinator
     from origami_tpu.batch.detect.compose import _line_sort_key
 
@@ -74,6 +76,29 @@ def composed_line_keys(out):
         by_region[k].sort(key=lambda p: _line_sort_key(p[3:]))
     combinator = TableRegionCombinator(list(by_region.keys()))
 
+    def row_major(lps):
+        entries = []
+        for lp in lps:
+            bl = det.get(lp)
+            if bl is None:
+                entries.append((float("inf"), 0.0, len(entries), lp))
+            else:
+                entries.append((float(bl[:, 1].mean()),
+                                float(bl[:, 0].min()), len(entries), lp))
+        entries.sort(key=lambda e: e[:3])
+        ys = [e[0] for e in entries if e[0] != float("inf")]
+        gaps = sorted(b - a for a, b in zip(ys, ys[1:]) if b - a > 1.0)
+        tol = 0.5 * gaps[len(gaps) // 2] if gaps else 1.0
+        rows, last_y = [], None
+        for e in entries:
+            if last_y is None or e[0] - last_y > tol:
+                rows.append([])
+            rows[-1].append(e)
+            last_y = e[0]
+        for row in rows:
+            row.sort(key=lambda e: (e[1], e[0], e[2]))
+            yield from (e[3] for e in row)
+
     keys = []
     seen = set()
     for name in order:
@@ -84,11 +109,12 @@ def composed_line_keys(out):
             seen.add(path)
             keys.append(path)
             continue
-        for m in combinator.mapping.get(path, [path]):
-            for lp in by_region.get(tuple(m), []):
-                if lp not in seen:
-                    seen.add(lp)
-                    keys.append(lp)
+        members = combinator.mapping.get(path, [path])
+        pend = [lp for m in members for lp in by_region.get(tuple(m), [])
+                if lp not in seen]
+        for lp in (row_major(pend) if len(members) > 1 else pend):
+            seen.add(lp)
+            keys.append(lp)
     return keys
 
 
@@ -116,7 +142,7 @@ def diagnose_page(out, gt):
     from origami_tpu.batch.utils.evaluate import cer
 
     det = detected_baselines(out)
-    keys = composed_line_keys(out)
+    keys = composed_line_keys(out, det)
 
     heights = [l["bbox"][3] - l["bbox"][1] for l in gt["lines"]]
     tol = 0.75 * float(np.median(heights))
