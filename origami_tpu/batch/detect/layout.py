@@ -144,13 +144,13 @@ class RegionState:
         return self._page.warped
 
     @cached_property
-    def binarized(self):
-        """Dewarped binarized page (True = paper) with separator pixels
-        whitened so whitespace-split detection treats separator lines as
-        gaps, not content (reference layout.py:158-186). One fused
-        device dispatch: sauvola + separator mask gather-through-the-
-        dewarp-grid + dilate + OR (this was 0.57 s/page of host numpy
-        round trips)."""
+    def _binarized_packed(self):
+        """DEVICE handle of the bit-packed binarized page — dispatching
+        is async, so touching this property right after construction
+        (see LayoutDetectionProcessor.process) lets the chip compute
+        sauvola + separator whitening underneath the transformer
+        pipeline's early host operators; `binarized` materializes it
+        only when FixSpillOver actually needs the pixels."""
         import jax.numpy as jnp
         from origami_tpu.ops.binarize import (
             binarize_sep_banded_packed, binarize_sep_resized_packed,
@@ -202,8 +202,28 @@ class RegionState:
                 packed = binarize_sep_resized_packed(
                     jnp.asarray(gray), window, sep_packed,
                     sep.shape[1])
+        return packed, int(gray.shape[1])
+
+    @cached_property
+    def binarized(self):
+        """Dewarped binarized page (True = paper) with separator pixels
+        whitened so whitespace-split detection treats separator lines as
+        gaps, not content (reference layout.py:158-186). One fused
+        device dispatch: sauvola + separator mask gather-through-the-
+        dewarp-grid + dilate + OR (this was 0.57 s/page of host numpy
+        round trips); results travel bit-packed."""
+        packed, width = self._binarized_packed
         return np.unpackbits(
-            np.asarray(packed), axis=1)[:, : gray.shape[1]].astype(bool)
+            np.asarray(packed), axis=1)[:, :width].astype(bool)
+
+    def start_binarize(self):
+        """Kick off the async device dispatch of `binarized` (safe
+        no-op on failure — the consuming operator will surface the
+        real error on materialization)."""
+        try:
+            self._binarized_packed
+        except Exception:
+            self.__dict__.pop("_binarized_packed", None)
 
     # -- line statistics ---------------------------------------------------
     @property
@@ -1356,6 +1376,10 @@ class LayoutDetectionProcessor(Processor):
             warped.segmentation,
             grid=dewarped.grid)
 
+        # start the chip on sauvola+separator-whitening NOW — the
+        # transformer's early host operators run underneath it and
+        # FixSpillOver materializes the finished mask later
+        regions.start_binarize()
         self._transformer(regions)
 
         split_contours, columns, dividers = subdivide_table_blocks(
